@@ -1,0 +1,558 @@
+"""Static circuit-template builder with a batched witness tape.
+
+TPU-first redesign of plonky2's CircuitBuilder + generator graph (SURVEY.md §7
+design stance): gadget calls
+
+  1. allocate gate rows / wire targets and copy constraints (the template,
+     built ONCE per circuit shape), and
+  2. append vectorized "tape" ops — closures over numpy that compute witness
+     values for a whole signature batch at a time.
+
+The reference's per-target SimpleGenerator dependency graph
+(src/gadgets/biguint.rs:483-548 etc.) disappears: tape order IS a valid
+dependency order, and each op is a tensor program over the batch axis
+(the axis that replaces rayon in the reference, SURVEY.md §2 parallelism
+inventory).
+
+Copy constraints are a union-find over targets; `build()` resolves classes,
+packs pending range checks into pooled rows, pads to a power of two, and
+emits the fixed polynomials (selectors, constants, sigmas).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..fields import goldilocks as gl
+from .config import CircuitConfig
+from .witness import gadd, gmul, gmul_const
+from .gates import (
+    ArithmeticGate,
+    BaseSum2Gate,
+    BigCmpGate,
+    ConstantGate,
+    Gate,
+    NoopGate,
+    PublicInputGate,
+    RandomAccessGate,
+    RangeCheckGate,
+)
+
+P = gl.P
+
+
+@dataclass
+class TapeOp:
+    fn: object          # callable(ev) -> None
+    writes: list        # target ids written
+    label: str = ""
+
+
+class Evaluator:
+    """Runtime context handed to tape ops: batched value table access."""
+
+    def __init__(self, vals: np.ndarray, read_map: np.ndarray):
+        self.vals = vals          # [num_targets, B] uint64
+        self.read_map = read_map  # target -> written representative
+
+    def get(self, tids):
+        """tids: int or int-array -> values [B] or [..., B]."""
+        return self.vals[self.read_map[np.asarray(tids)]]
+
+    def set(self, tids, data):
+        self.vals[np.asarray(tids)] = data
+
+
+@dataclass
+class PublicInputLayout:
+    rows: list          # row indices of PI gate rows
+    num_cols: int       # PIs per row
+    count: int          # total registered public inputs
+
+
+@dataclass
+class Circuit:
+    config: CircuitConfig
+    n: int                      # padded row count (power of two)
+    gates: list                 # distinct gate instances (selector order)
+    row_gate_idx: np.ndarray    # [n] index into gates (-1 -> noop/padding)
+    constants: np.ndarray       # [num_constant_cols, n] uint64
+    sigmas: np.ndarray          # [num_routed, n] uint64 (position encodings)
+    selectors: np.ndarray       # [num_gates, n] uint64 0/1
+    pos_rows: np.ndarray        # positions with targets: row indices
+    pos_cols: np.ndarray        # positions with targets: col indices
+    pos_tids: np.ndarray        # resolved (read_map'd) target per position
+    tape: list
+    read_map: np.ndarray
+    num_targets: int
+    inputs: dict                # name -> np.ndarray of target ids
+    pi: PublicInputLayout
+    pi_tids: np.ndarray         # resolved targets of public inputs, in order
+    constant_values: dict       # tid -> int
+    k_coeffs: list              # cosets shifts k_j for routed columns
+    gate_rows: dict             # gate_idx -> np.ndarray of row indices
+
+    # ---- witness generation -------------------------------------------------
+    def generate_witness(self, inputs: dict, batch: int) -> np.ndarray:
+        """inputs: name -> [B, len(target_list)] uint64 arrays.
+        Returns witness matrix W [num_wires, n, B] uint64 plus keeps the
+        resolved value table for public-input extraction."""
+        vals = np.zeros((self.num_targets, batch), dtype=np.uint64)
+        for tid, v in self.constant_values.items():
+            vals[tid] = v
+        for name, tids in self.inputs.items():
+            data = np.asarray(inputs[name], dtype=np.uint64)
+            assert data.shape == (batch, len(tids)), (name, data.shape, len(tids))
+            vals[tids] = data.T
+        ev = Evaluator(vals, self.read_map)
+        for op in self.tape:
+            op.fn(ev)
+        W = np.zeros((self.config.num_wires, self.n, batch), dtype=np.uint64)
+        W[self.pos_cols, self.pos_rows] = vals[self.pos_tids]
+        self._last_vals = vals
+        return W
+
+    def public_input_values(self) -> np.ndarray:
+        """[B, num_pis] after generate_witness."""
+        return self._last_vals[self.pi_tids].T
+
+
+class CircuitBuilder:
+    def __init__(self, config: CircuitConfig | None = None):
+        self.config = config or CircuitConfig.standard_ecc_config()
+        cfg = self.config
+        self.rows: list[tuple[Gate, tuple]] = []   # (gate, constant col values)
+        self._gate_index: dict[str, int] = {}
+        self.gates: list[Gate] = []
+        self.row_gate_idx: list[int] = []
+        self.num_targets = 0
+        self._parent: list[int] = []
+        self._wire_targets: dict[tuple[int, int], int] = {}
+        self.tape: list[TapeOp] = []
+        self._written: set[int] = set()
+        self._write_order: dict[int, int] = {}
+        self.constant_values: dict[int, int] = {}
+        self._const_cache: dict[int, int] = {}
+        self.inputs: dict[str, list[int]] = {}
+        self.public_input_targets: list[int] = []
+        self._pending_range: dict[int, list[int]] = {29: [], 34: []}
+        self._slots: dict = {}
+        # derived packing widths
+        self.arith_ops = cfg.num_routed_wires // ArithmeticGate.WIRES_PER_OP
+        self.basesum_ops = min(cfg.num_routed_wires // 30, cfg.num_wires // 30)
+        self.ra_copies = cfg.num_routed_wires // 18
+        self.rc_vals = {29: cfg.num_wires // 16, 34: cfg.num_wires // 18}
+
+    # ------------------------------------------------------------------ targets
+    def new_target(self) -> int:
+        t = self.num_targets
+        self.num_targets += 1
+        self._parent.append(t)
+        return t
+
+    def new_targets(self, k: int) -> list[int]:
+        return [self.new_target() for _ in range(k)]
+
+    def _find(self, t: int) -> int:
+        p = self._parent
+        root = t
+        while p[root] != root:
+            root = p[root]
+        while p[t] != root:
+            p[t], t = root, p[t]
+        return root
+
+    def connect(self, a: int, b: int):
+        ra, rb = self._find(a), self._find(b)
+        if ra != rb:
+            self._parent[max(ra, rb)] = min(ra, rb)
+
+    # ------------------------------------------------------------------- rows
+    def _gate_idx(self, gate: Gate) -> int:
+        gid = gate.gate_id()
+        if gid not in self._gate_index:
+            assert gate.num_wires <= self.config.num_wires, (gid, gate.num_wires)
+            self._gate_index[gid] = len(self.gates)
+            self.gates.append(gate)
+        return self._gate_index[gid]
+
+    def add_row(self, gate: Gate, constants: tuple = ()) -> int:
+        gi = self._gate_idx(gate)
+        row = len(self.rows)
+        self.rows.append((gate, constants))
+        self.row_gate_idx.append(gi)
+        return row
+
+    def wire(self, row: int, col: int) -> int:
+        key = (row, col)
+        t = self._wire_targets.get(key)
+        if t is None:
+            t = self.new_target()
+            self._wire_targets[key] = t
+        return t
+
+    def op_slot(self, key, gate_factory, constants: tuple = ()):
+        """Packed multi-op gates: returns (row, op_index)."""
+        state = self._slots.get(key)
+        if state is None or state[1] >= state[2]:
+            gate = gate_factory()
+            row = self.add_row(gate, constants)
+            cap = None
+            for attr in ("num_ops", "num_vals", "num_copies", "num_consts"):
+                cap = getattr(gate, attr, None)
+                if cap is not None:
+                    break
+            assert cap, gate
+            state = [row, 0, cap]
+            self._slots[key] = state
+        row, idx, _ = state
+        state[1] += 1
+        return row, idx
+
+    # ------------------------------------------------------------------- tape
+    def add_op(self, fn, writes, label: str = ""):
+        for t in writes:
+            if t not in self._written:
+                self._written.add(t)
+                self._write_order[t] = len(self.tape)
+        self.tape.append(TapeOp(fn, list(writes), label))
+
+    def mark_written(self, targets):
+        for t in targets:
+            if t not in self._written:
+                self._written.add(t)
+                self._write_order[t] = len(self.tape)
+
+    # ------------------------------------------------ native-field operations
+    def constant(self, v: int) -> int:
+        v %= P
+        t = self._const_cache.get(v)
+        if t is not None:
+            return t
+        nc = self.config.num_constant_cols
+        row, idx = self.op_slot("const", lambda: ConstantGate(nc), None)
+        # constants tuple finalized later; store values on the row record
+        gate, consts = self.rows[row]
+        if consts is None:
+            consts = [0] * nc
+            self.rows[row] = (gate, consts)
+        consts[idx] = v
+        t = self.wire(row, idx)
+        self.constant_values[t] = v
+        self._const_cache[v] = t
+        self.mark_written([t])
+        return t
+
+    def zero(self) -> int:
+        return self.constant(0)
+
+    def one(self) -> int:
+        return self.constant(1)
+
+    def add_virtual_target(self) -> int:
+        return self.new_target()
+
+    def add_virtual_targets(self, k: int) -> list[int]:
+        return self.new_targets(k)
+
+    def register_input(self, name: str, targets):
+        self.inputs[name] = list(targets)
+        self.mark_written(targets)
+
+    def register_public_input(self, t: int):
+        self.public_input_targets.append(t)
+
+    def register_public_inputs(self, ts):
+        for t in ts:
+            self.register_public_input(t)
+
+    def arithmetic(self, c0: int, c1: int, m1: int, m2: int, addend: int) -> int:
+        """out = c0 * m1 * m2 + c1 * addend (plonky2 arithmetic op shape)."""
+        c0 %= P
+        c1 %= P
+        row, idx = self.op_slot(("arith", c0, c1), lambda: ArithmeticGate(self.arith_ops),
+                                (c0, c1))
+        g: ArithmeticGate = self.rows[row][0]
+        wm1, wm2, wad, wout = (self.wire(row, w) for w in g.wires_op(idx))
+        self.connect(wm1, m1)
+        self.connect(wm2, m2)
+        self.connect(wad, addend)
+
+        def fill(ev, tids=(m1, m2, addend), out=wout, c0=c0, c1=c1):
+            a, b, c = ev.get(tids[0]), ev.get(tids[1]), ev.get(tids[2])
+            ev.set(out, gadd(gmul(gmul_const(a, c0), b), gmul_const(c, c1)))
+
+        self.add_op(fill, [wout], "arith")
+        return wout
+
+    def mul(self, a: int, b: int) -> int:
+        return self.arithmetic(1, 0, a, b, a)
+
+    def add(self, a: int, b: int) -> int:
+        one = self.one()
+        return self.arithmetic(1, 1, a, one, b)
+
+    def sub(self, a: int, b: int) -> int:
+        one = self.one()
+        return self.arithmetic(1, P - 1, a, one, b)
+
+    def mul_add(self, a: int, b: int, c: int) -> int:
+        """a*b + c (split recombination workhorse, split_nonnative.rs:44-47)."""
+        return self.arithmetic(1, 1, a, b, c)
+
+    def mul_const(self, c: int, a: int) -> int:
+        one = self.one()
+        return self.arithmetic(c, 0, a, one, one)
+
+    def add_const(self, a: int, c: int) -> int:
+        one = self.one()
+        return self.arithmetic(c, 1, one, one, a)
+
+    def assert_zero(self, a: int):
+        self.connect(a, self.zero())
+
+    def assert_one(self, a: int):
+        self.connect(a, self.one())
+
+    def assert_bool(self, b: int):
+        # b*b - b == 0
+        t = self.arithmetic(1, P - 1, b, b, b)
+        self.assert_zero(t)
+
+    def not_(self, b: int) -> int:
+        one = self.one()
+        return self.arithmetic(P - 1, 1, b, one, one)
+
+    def and_(self, a: int, b: int) -> int:
+        return self.mul(a, b)
+
+    def select(self, b: int, x: int, y: int) -> int:
+        """b ? x : y  =  b*(x-y) + y."""
+        d = self.sub(x, y)
+        return self.arithmetic(1, 1, b, d, y)
+
+    def is_equal(self, a: int, b: int) -> int:
+        """BoolTarget a == b via inverse hint (plonky2 is_equal semantics)."""
+        d = self.sub(a, b)
+        inv = self.add_virtual_target()
+        eq = self.add_virtual_target()
+        from .witness import gmul, gsub
+
+        def fill(ev, d=d, inv=inv, eq=eq):
+            dv = ev.get(d)
+            nz = dv != 0
+            iv = np.zeros_like(dv)
+            if nz.any():
+                flat = dv[nz]
+                iv[nz] = np.array([pow(int(x), -1, P) for x in flat.ravel()],
+                                  dtype=np.uint64).reshape(flat.shape)
+            ev.set(inv, iv)
+            ev.set(eq, (~nz).astype(np.uint64))
+
+        self.add_op(fill, [inv, eq], "is_equal")
+        # d*inv = 1 - eq  ->  d*inv + eq - 1 = 0
+        t = self.arithmetic(1, 1, d, inv, eq)
+        self.assert_one(t)
+        # d*eq = 0
+        t2 = self.mul(d, eq)
+        self.assert_zero(t2)
+        return eq
+
+    # -------------------------------------------------------- structured ops
+    def split_le_base2(self, x: int, bits: int = 29) -> list[int]:
+        """x -> `bits` boolean targets, little-endian (split_le_base::<2>)."""
+        row, idx = self.op_slot(("basesum", bits),
+                                lambda: BaseSum2Gate(self.basesum_ops, bits))
+        g: BaseSum2Gate = self.rows[row][0]
+        wv = self.wire(row, g.wire_value(idx))
+        self.connect(wv, x)
+        bit_ts = [self.wire(row, g.wire_bit(idx, j)) for j in range(bits)]
+
+        def fill(ev, x=x, outs=np.array(bit_ts), bits=bits):
+            v = ev.get(x)
+            data = np.stack([(v >> np.uint64(j)) & np.uint64(1) for j in range(bits)])
+            ev.set(outs, data)
+
+        self.add_op(fill, bit_ts, "split")
+        return bit_ts
+
+    def random_access(self, idx_t: int, items: list[int]) -> int:
+        """out = items[idx]; len(items) must be 16 (4-bit window)."""
+        assert len(items) == 16
+        row, copy = self.op_slot("ra", lambda: RandomAccessGate(4, self.ra_copies))
+        g: RandomAccessGate = self.rows[row][0]
+        self.connect(self.wire(row, g.wire_idx(copy)), idx_t)
+        for i, it in enumerate(items):
+            self.connect(self.wire(row, g.wire_item(copy, i)), it)
+        out = self.wire(row, g.wire_out(copy))
+        bit_ts = [self.wire(row, g.wire_bit(copy, j)) for j in range(4)]
+
+        def fill(ev, idx_t=idx_t, items=np.array(items), out=out, bits=np.array(bit_ts)):
+            iv = ev.get(idx_t).astype(np.int64)  # [B]
+            vals = ev.get(items)                 # [16, B]
+            ev.set(out, np.take_along_axis(vals, iv[None, :], axis=0)[0])
+            ev.set(bits, np.stack([(iv >> j) & 1 for j in range(4)]).astype(np.uint64))
+
+        self.add_op(fill, [out] + bit_ts, "random_access")
+        return out
+
+    def range_check(self, t: int, bits: int):
+        """Queue t for a pooled range check (flushed at build)."""
+        assert bits in self._pending_range, bits
+        self._pending_range[bits].append(t)
+
+    # ------------------------------------------------------------------ build
+    def _flush_range_pools(self):
+        for bits, pool in self._pending_range.items():
+            V = self.rc_vals[29 if bits == 29 else 34]
+            for off in range(0, len(pool), V):
+                chunk = pool[off : off + V]
+                gate = RangeCheckGate(bits, V)
+                row = self.add_row(gate)
+                limb_ts = []
+                for v, t in enumerate(chunk):
+                    self.connect(self.wire(row, gate.wire_value(v)), t)
+                    limb_ts.append([self.wire(row, gate.wire_limb(v, j))
+                                    for j in range(gate.num_limbs)])
+                flat = np.array(limb_ts)  # [V', nl]
+
+                def fill(ev, ts=np.array(chunk), outs=flat, nl=gate.num_limbs):
+                    v = ev.get(ts)  # [V', B]
+                    limbs = np.stack(
+                        [(v >> np.uint64(2 * j)) & np.uint64(3) for j in range(nl)], axis=1
+                    )  # [V', nl, B]
+                    ev.set(outs, limbs)
+
+                self.add_op(fill, flat.ravel().tolist(), f"range{bits}")
+        self._pending_range = {29: [], 34: []}
+
+    def _add_public_input_rows(self) -> PublicInputLayout:
+        K = 8
+        rows = []
+        pis = self.public_input_targets
+        for off in range(0, len(pis), K):
+            chunk = pis[off : off + K]
+            row = self.add_row(PublicInputGate(K))
+            rows.append(row)
+            for j, t in enumerate(chunk):
+                self.connect(self.wire(row, j), t)
+            # unused PI wires constrained to 0 via PI poly value 0; leave targets unset
+        return PublicInputLayout(rows=rows, num_cols=K, count=len(pis))
+
+    def build(self) -> Circuit:
+        cfg = self.config
+        self._flush_range_pools()
+        pi_layout = self._add_public_input_rows()
+
+        num_rows = len(self.rows)
+        n = max(8, 1 << (num_rows - 1).bit_length())
+        noop = NoopGate()
+        noop_idx = self._gate_idx(noop) if num_rows < n else None
+        while len(self.rows) < n:
+            self.rows.append((noop, ()))
+            self.row_gate_idx.append(noop_idx)
+
+        # constant columns
+        constants = np.zeros((cfg.num_constant_cols, n), dtype=np.uint64)
+        for r, (gate, consts) in enumerate(self.rows):
+            if consts:
+                for j, v in enumerate(consts):
+                    constants[j, r] = v
+
+        # selectors
+        selectors = np.zeros((len(self.gates), n), dtype=np.uint64)
+        rgi = np.array(self.row_gate_idx, dtype=np.int64)
+        for gi in range(len(self.gates)):
+            selectors[gi, rgi == gi] = 1
+        gate_rows = {gi: np.nonzero(rgi == gi)[0] for gi in range(len(self.gates))}
+
+        # resolve classes -> read_map
+        roots = np.array([self._find(t) for t in range(self.num_targets)], dtype=np.int64)
+        read_map = np.full(self.num_targets, -1, dtype=np.int64)
+        order = self._write_order
+        best: dict[int, tuple[int, int]] = {}
+        for t in self._written:
+            r = int(roots[t])
+            o = order[t]
+            if r not in best or o < best[r][0]:
+                best[r] = (o, t)
+        for t in range(self.num_targets):
+            r = int(roots[t])
+            read_map[t] = best[r][1] if r in best else t  # unwritten classes -> self (0s)
+
+        # positions
+        pos_rows, pos_cols, pos_tids = [], [], []
+        for (row, col), t in self._wire_targets.items():
+            pos_rows.append(row)
+            pos_cols.append(col)
+            pos_tids.append(read_map[t])
+        pos_rows = np.array(pos_rows, dtype=np.int64)
+        pos_cols = np.array(pos_cols, dtype=np.int64)
+        pos_tids = np.array(pos_tids, dtype=np.int64)
+
+        # sigma permutation over routed positions
+        sigmas, k_coeffs = self._compute_sigmas(n, roots)
+
+        pi_tids = np.array([read_map[t] for t in self.public_input_targets], dtype=np.int64)
+
+        return Circuit(
+            config=cfg,
+            n=n,
+            gates=self.gates,
+            row_gate_idx=rgi,
+            constants=constants,
+            sigmas=sigmas,
+            selectors=selectors,
+            pos_rows=pos_rows,
+            pos_cols=pos_cols,
+            pos_tids=pos_tids,
+            tape=self.tape,
+            read_map=read_map,
+            num_targets=self.num_targets,
+            inputs={k: np.array(v, dtype=np.int64) for k, v in self.inputs.items()},
+            pi=pi_layout,
+            pi_tids=pi_tids,
+            constant_values=self.constant_values,
+            k_coeffs=k_coeffs,
+            gate_rows=gate_rows,
+        )
+
+    def _compute_sigmas(self, n: int, roots: np.ndarray):
+        cfg = self.config
+        nr = cfg.num_routed_wires
+        # subgroup generator of order n:
+        g = pow(gl.POWER_OF_TWO_GENERATOR, (1 << 32) // n, P)
+        assert pow(g, n, P) == 1 and pow(g, n // 2, P) != 1
+        # coset shifts: k_j = 7^j, distinct cosets checked
+        k_coeffs = [pow(7, j, P) for j in range(nr)]
+        seen = {pow(k, n, P) for k in k_coeffs}
+        assert len(seen) == nr, "k_i cosets collide; pick different shifts"
+
+        g_pows = np.zeros(n, dtype=np.uint64)
+        acc = 1
+        for i in range(n):
+            g_pows[i] = acc
+            acc = acc * g % P
+
+        # identity encoding: sigma_j[row] = k_j * g^row, then apply cycles
+        sigmas = np.zeros((nr, n), dtype=np.uint64)
+        gp = gl.from_u64(g_pows)
+        for j in range(nr):
+            kj = gl.from_int(k_coeffs[j], (n,))
+            sigmas[j] = gl.to_u64(*gl.mul(*gp, *kj))
+
+        # group routed positions by class
+        classes: dict[int, list[tuple[int, int]]] = {}
+        for (row, col), t in self._wire_targets.items():
+            if col < nr:
+                classes.setdefault(int(roots[t]), []).append((row, col))
+        for members in classes.values():
+            if len(members) < 2:
+                continue
+            encs = [int(sigmas[c, r]) for (r, c) in members]
+            # cyclic shift: position i gets encoding of position i+1
+            for i, (r, c) in enumerate(members):
+                sigmas[c, r] = encs[(i + 1) % len(members)]
+        return sigmas, k_coeffs

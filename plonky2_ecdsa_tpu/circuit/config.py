@@ -1,0 +1,49 @@
+"""Circuit / FRI configuration presets.
+
+TPU analogues of plonky2's CircuitConfig presets consumed by the reference
+(`standard_ecc_config`, `wide_ecc_config`; SURVEY.md §2.9).  Wire counts match
+the plonky2 presets; the gate inventory is this framework's own (fused wide
+gates, boolean per-gate selectors), so the semantics of "routed" etc. are
+self-consistent rather than byte-compatible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class FriConfig:
+    rate_bits: int = 3          # LDE blowup 8x
+    cap_height: int = 4         # Merkle cap 2^4 roots
+    num_query_rounds: int = 28
+    proof_of_work_bits: int = 0  # grinding deferred (round-1); plonky2 uses 16
+    arity_bits: int = 1         # fold arity 2
+    final_poly_max_degree_bits: int = 5  # stop folding at degree < 32
+
+
+@dataclass(frozen=True)
+class CircuitConfig:
+    num_wires: int = 136
+    num_routed_wires: int = 80
+    num_constant_cols: int = 2
+    num_challenges: int = 2
+    quotient_degree_factor: int = 8
+    permutation_chunk_size: int = 8
+    fri: FriConfig = field(default_factory=FriConfig)
+
+    @staticmethod
+    def standard_ecc_config() -> "CircuitConfig":
+        return CircuitConfig()
+
+    @staticmethod
+    def wide_ecc_config() -> "CircuitConfig":
+        # plonky2 wide_ecc_config widens the row (234 wires / 175 routed)
+        return CircuitConfig(num_wires=234, num_routed_wires=175)
+
+    @staticmethod
+    def test_config() -> "CircuitConfig":
+        """Small fast config for CPU unit tests (lower FRI query count)."""
+        return CircuitConfig(
+            fri=FriConfig(rate_bits=3, cap_height=1, num_query_rounds=12),
+        )
