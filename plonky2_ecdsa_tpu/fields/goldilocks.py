@@ -22,6 +22,10 @@ from __future__ import annotations
 
 import numpy as np
 
+# Wrap-around u32/u64 arithmetic is intentional throughout this module; numpy
+# only warns for 0-d (scalar) operands, which appear in the host verifier.
+np.seterr(over="ignore")
+
 P = (1 << 64) - (1 << 32) + 1  # Goldilocks prime
 P_LO = np.uint32(1)
 P_HI = np.uint32(0xFFFFFFFF)
@@ -54,21 +58,18 @@ def _u32(xp, x):
 
 def addc32(a, b):
     """u32 a + b -> (sum, carry)."""
-    xp = _xp(a, b)
     s = a + b
-    return s, (s < a).astype(xp.uint32)
+    return s, (s < a).astype(np.uint32)
 
 
 def subb32(a, b):
     """u32 a - b -> (diff, borrow)."""
-    xp = _xp(a, b)
-    return a - b, (a < b).astype(xp.uint32)
+    return a - b, (a < b).astype(np.uint32)
 
 
 def mul32(a, b):
     """Full 32x32 -> 64 product as (lo, hi) u32 via 16-bit partials."""
-    xp = _xp(a, b)
-    mask = _u32(xp, 0xFFFF)
+    mask = np.uint32(0xFFFF)
     al, ah = a & mask, a >> 16
     bl, bh = b & mask, b >> 16
     ll = al * bl
@@ -98,9 +99,8 @@ def sub64(alo, ahi, blo, bhi):
 
 def geq64(alo, ahi, blo, bhi):
     """u64 a >= b as uint32 0/1."""
-    xp = _xp(alo, ahi, blo, bhi)
     gt = (ahi > bhi) | ((ahi == bhi) & (alo >= blo))
-    return gt.astype(xp.uint32)
+    return gt.astype(np.uint32)
 
 
 def mul64(alo, ahi, blo, bhi):
@@ -127,8 +127,7 @@ def mul64(alo, ahi, blo, bhi):
 
 def canonicalize(lo, hi):
     """Subtract p once if value >= p (input < 2^64)."""
-    xp = _xp(lo, hi)
-    ge = geq64(lo, hi, _u32(xp, P_LO), _u32(xp, P_HI))
+    ge = geq64(lo, hi, P_LO, P_HI)
     slo, shi, _ = sub64(lo, hi, ge * P_LO, ge * P_HI)
     return slo, shi
 
@@ -150,9 +149,7 @@ def sub(alo, ahi, blo, bhi):
 
 
 def neg(alo, ahi):
-    xp = _xp(alo, ahi)
-    z = _u32(xp, 0)
-    nz = ((alo != 0) | (ahi != 0)).astype(xp.uint32)
+    nz = ((alo != 0) | (ahi != 0)).astype(np.uint32)
     lo, hi, _ = sub64(nz * P_LO, nz * P_HI, alo, ahi)
     return lo, hi
 
@@ -163,10 +160,9 @@ def reduce128(r0, r1, r2, r3):
     tlo, thi, brw = sub64(r0, r1, r3, r3 * np.uint32(0))
     tlo, thi, _ = sub64(tlo, thi, brw * EPS, brw * np.uint32(0))
     # u = r2 * (2^32 - 1) = (r2 << 32) - r2
-    xp = _xp(r0, r1, r2, r3)
-    z = _u32(xp, 0)
+    z = np.uint32(0)
     ulo = z - r2
-    uhi = r2 - (r2 != 0).astype(xp.uint32)
+    uhi = r2 - (r2 != 0).astype(np.uint32)
     lo, hi, c = add64(tlo, thi, ulo, uhi)
     lo, hi, _ = add64(lo, hi, c * EPS, c * z)
     return canonicalize(lo, hi)
@@ -179,16 +175,15 @@ def mul(alo, ahi, blo, bhi):
 
 def mul_small(alo, ahi, c):
     """a * c mod p with c a u32 scalar constant (cheap 96-bit fold)."""
-    xp = _xp(alo, ahi)
-    c = _u32(xp, c)
+    c = np.uint32(c)
     p0l, p0h = mul32(alo, c)
     p1l, p1h = mul32(ahi, c)
     r0 = p0l
     r1, cy = addc32(p0h, p1l)
     r2 = p1h + cy  # < 2^32, no wrap
-    z = _u32(xp, 0)
+    z = np.uint32(0)
     ulo = z - r2
-    uhi = r2 - (r2 != 0).astype(xp.uint32)
+    uhi = r2 - (r2 != 0).astype(np.uint32)
     lo, hi, cc = add64(r0, r1, ulo, uhi)
     lo, hi, _ = add64(lo, hi, cc * EPS, cc * z)
     return canonicalize(lo, hi)

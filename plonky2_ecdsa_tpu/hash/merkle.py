@@ -1,0 +1,121 @@
+"""Merkle trees over Poseidon digests (4 Goldilocks elements), with caps.
+
+plonky2 MerkleTree/MerkleCap equivalent (SURVEY.md §2.9 Poseidon Merkle caps):
+the tree is truncated `cap_height` levels from the root and all 2^cap_height
+subtree roots are published/absorbed.  Fully batched: every level is a
+(lo, hi) u32-pair tensor of shape [..., size, 4]; the same code hashes one
+tree on CPU or a whole proof batch on TPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..fields import goldilocks as gl
+from . import poseidon
+
+
+def _pairs_from_axis(lo, hi, axis=-1):
+    """Split pair arrays [..., W] into a list of W pairs [...]."""
+    W = lo.shape[axis]
+    return [(lo[..., i], hi[..., i]) for i in range(W)]
+
+
+def _stack_pairs(pairs, xp):
+    lo = xp.stack([p[0] for p in pairs], axis=-1)
+    hi = xp.stack([p[1] for p in pairs], axis=-1)
+    return lo, hi
+
+
+def hash_leaves(leaf_lo, leaf_hi):
+    """[..., L, W] leaf data -> [..., L, 4] digests."""
+    xp = gl._xp(leaf_lo, leaf_hi)
+    digest = poseidon.hash_no_pad(_pairs_from_axis(leaf_lo, leaf_hi))
+    return _stack_pairs(digest, xp)
+
+
+@dataclass
+class MerkleTree:
+    levels: list  # [(lo, hi)] arrays of shape [..., size, 4], leaves first
+    cap_height: int
+
+    @property
+    def cap(self):
+        return self.levels[-1]  # [..., 2^cap_height, 4]
+
+    def open(self, idx):
+        """idx: int array [...Q] (broadcast-compatible with batch axes).
+        Returns path (lo, hi) arrays [...Q, depth, 4] of sibling digests."""
+        xp = gl._xp(self.levels[0][0])
+        sib_lo, sib_hi = [], []
+        cur = idx
+        num_levels = len(self.levels) - 1
+        for d in range(num_levels):
+            llo, lhi = self.levels[d]
+            sidx = cur ^ 1
+            sib_lo.append(_take_batched(llo, sidx, xp))
+            sib_hi.append(_take_batched(lhi, sidx, xp))
+            cur = cur >> 1
+        if num_levels == 0:
+            shape = tuple(np.shape(idx)) + (0, 4)
+            return xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32)
+        return xp.stack(sib_lo, axis=-2), xp.stack(sib_hi, axis=-2)
+
+
+def _take_batched(arr, idx, xp):
+    """arr: [B..., size, 4] or unbatched [size, 4]; idx: [B..., Q] -> [B..., Q, 4]."""
+    idx = xp.asarray(idx)
+    if arr.ndim == 2:  # unbatched tree (e.g. fixed-poly commitment)
+        return arr[idx]
+    take = np.take_along_axis if xp is np else _jnp_take_along
+    return take(arr, idx[..., None], -2)
+
+
+def _jnp_take_along(arr, idx, axis):
+    import jax.numpy as jnp
+
+    return jnp.take_along_axis(arr, idx, axis=axis)
+
+
+def build_merkle_tree(leaf_lo, leaf_hi, cap_height: int) -> MerkleTree:
+    """leaf data [..., L, W] -> tree with cap at 2^cap_height roots."""
+    xp = gl._xp(leaf_lo, leaf_hi)
+    L = leaf_lo.shape[-2]
+    assert L & (L - 1) == 0
+    cap_height = min(cap_height, L.bit_length() - 1)
+    dlo, dhi = hash_leaves(leaf_lo, leaf_hi)
+    levels = [(dlo, dhi)]
+    size = L
+    while size > (1 << cap_height):
+        llo, lhi = levels[-1]
+        pair_lo = llo.reshape(llo.shape[:-2] + (size // 2, 8))
+        pair_hi = lhi.reshape(lhi.shape[:-2] + (size // 2, 8))
+        digest = poseidon.hash_no_pad(_pairs_from_axis(pair_lo, pair_hi))
+        levels.append(_stack_pairs(digest, xp))
+        size //= 2
+    return MerkleTree(levels=levels, cap_height=cap_height)
+
+
+def verify_merkle_proof(leaf_lo, leaf_hi, idx: int, path_lo, path_hi, cap_lo, cap_hi) -> bool:
+    """Single-element host-side verification.
+
+    leaf: [W] pair arrays; path: [depth, 4]; cap: [2^cap, 4]."""
+    cur = poseidon.hash_no_pad(_pairs_from_axis(leaf_lo, leaf_hi))
+    cur_lo = np.stack([c[0] for c in cur], -1)
+    cur_hi = np.stack([c[1] for c in cur], -1)
+    i = int(idx)
+    for d in range(path_lo.shape[0]):
+        slo, shi = path_lo[d], path_hi[d]
+        if i & 1:
+            cat_lo = np.concatenate([slo, cur_lo], -1)
+            cat_hi = np.concatenate([shi, cur_hi], -1)
+        else:
+            cat_lo = np.concatenate([cur_lo, slo], -1)
+            cat_hi = np.concatenate([cur_hi, shi], -1)
+        dig = poseidon.hash_no_pad(_pairs_from_axis(cat_lo, cat_hi))
+        cur_lo = np.stack([c[0] for c in dig], -1)
+        cur_hi = np.stack([c[1] for c in dig], -1)
+        i >>= 1
+    return bool(np.array_equal(cur_lo, cap_lo[i]) and np.array_equal(cur_hi, cap_hi[i]))

@@ -1,0 +1,169 @@
+"""Poseidon permutation over Goldilocks, width 12, x^7 S-box — vectorized.
+
+The Merkle/transcript hash of the proof system (plonky2's
+PoseidonGoldilocksConfig equivalent, SURVEY.md §2.9).  Structure matches
+plonky2's instance: width 12, 8 full rounds (4+4) + 22 partial rounds, S-box
+x^7, MDS = circulant(small constants) + diag so the MDS layer is all
+mul-by-u32 (cheap on 32-bit TPU lanes).
+
+Round constants are generated deterministically from a SHA-256 PRG (nothing
+up my sleeve; plonky2's exact baked-in constants are not available here and
+proof-transcript bit-compat with the Rust stack is out of scope — see
+SURVEY.md §7 determinism note).  The MDS matrix is checked invertible at
+import.
+
+The state is carried STACKED: a single (lo, hi) u32-pair tensor with leading
+axis 12, so the S-box and MDS vectorize across lanes as well as across the
+hashing batch (2^18 Merkle leaves hash as [12, 2^18] tensors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..fields import goldilocks as gl
+
+WIDTH = 12
+RATE = 8
+HALF_FULL_ROUNDS = 4
+PARTIAL_ROUNDS = 22
+TOTAL_ROUNDS = 2 * HALF_FULL_ROUNDS + PARTIAL_ROUNDS  # 30
+
+# Small circulant + diagonal MDS (plonky2-style structure: every entry fits
+# u32 so row dot-products are mul-by-small chains).
+MDS_CIRC = [17, 15, 41, 16, 2, 28, 13, 13, 39, 18, 34, 20]
+MDS_DIAG0 = 8  # extra weight on the [0,0] entry
+
+
+def _gen_round_constants():
+    out = []
+    ctr = 0
+    while len(out) < WIDTH * TOTAL_ROUNDS:
+        h = hashlib.sha256(b"plonky2_ecdsa_tpu/poseidon/v1/" + ctr.to_bytes(4, "little")).digest()
+        ctr += 1
+        for off in range(0, 32, 8):
+            v = int.from_bytes(h[off : off + 8], "little")
+            if v < gl.P:
+                out.append(v)
+            if len(out) == WIDTH * TOTAL_ROUNDS:
+                break
+    return out
+
+
+ROUND_CONSTANTS = _gen_round_constants()
+_RC_U64 = np.array(ROUND_CONSTANTS, dtype=np.uint64).reshape(TOTAL_ROUNDS, WIDTH)
+_RC_LO = (_RC_U64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+_RC_HI = (_RC_U64 >> np.uint64(32)).astype(np.uint32)
+
+
+def _check_mds_invertible():
+    m = [[(MDS_CIRC[(j - i) % WIDTH] + (MDS_DIAG0 if (i == j == 0) else 0)) % gl.P
+          for j in range(WIDTH)] for i in range(WIDTH)]
+    mat = [row[:] for row in m]
+    for col in range(WIDTH):
+        piv = next((r for r in range(col, WIDTH) if mat[r][col]), None)
+        assert piv is not None, "MDS matrix is singular"
+        mat[col], mat[piv] = mat[piv], mat[col]
+        inv = pow(mat[col][col], -1, gl.P)
+        for r in range(col + 1, WIDTH):
+            f = mat[r][col] * inv % gl.P
+            if f:
+                mat[r] = [(a - f * bb) % gl.P for a, bb in zip(mat[r], mat[col])]
+
+
+_check_mds_invertible()
+
+
+def _xp_of(lo):
+    return gl._xp(lo)
+
+
+def _sbox(x):
+    x2 = gl.square(*x)
+    x4 = gl.square(*x2)
+    x3 = gl.mul(*x2, *x)
+    return gl.mul(*x4, *x3)
+
+
+def _mds_stacked(lo, hi, xp):
+    """out_i = sum_d circ[d] * s_{(i+d) mod 12} (+ diag on lane 0)."""
+    olo = ohi = None
+    for d, c in enumerate(MDS_CIRC):
+        rl = xp.roll(lo, -d, axis=0)
+        rh = xp.roll(hi, -d, axis=0)
+        tl, th = gl.mul_small(rl, rh, np.uint32(c))
+        if olo is None:
+            olo, ohi = tl, th
+        else:
+            olo, ohi = gl.add(olo, ohi, tl, th)
+    d0 = gl.mul_small(lo[0], hi[0], np.uint32(MDS_DIAG0))
+    t0 = gl.add(olo[0], ohi[0], *d0)
+    olo = xp.concatenate([t0[0][None], olo[1:]], axis=0)
+    ohi = xp.concatenate([t0[1][None], ohi[1:]], axis=0)
+    return olo, ohi
+
+
+def _add_rc(lo, hi, r, xp):
+    shape = (WIDTH,) + (1,) * (lo.ndim - 1)
+    rl = xp.asarray(_RC_LO[r]).reshape(shape)
+    rh = xp.asarray(_RC_HI[r]).reshape(shape)
+    return gl.add(lo, hi, rl, rh)
+
+
+def permute_stacked(lo, hi):
+    """(lo, hi) with leading axis WIDTH -> permuted pair."""
+    xp = _xp_of(lo)
+    r = 0
+    for _ in range(HALF_FULL_ROUNDS):
+        lo, hi = _add_rc(lo, hi, r, xp)
+        r += 1
+        lo, hi = _sbox((lo, hi))
+        lo, hi = _mds_stacked(lo, hi, xp)
+    for _ in range(PARTIAL_ROUNDS):
+        lo, hi = _add_rc(lo, hi, r, xp)
+        r += 1
+        s0 = _sbox((lo[0], hi[0]))
+        lo = xp.concatenate([s0[0][None], lo[1:]], axis=0)
+        hi = xp.concatenate([s0[1][None], hi[1:]], axis=0)
+        lo, hi = _mds_stacked(lo, hi, xp)
+    for _ in range(HALF_FULL_ROUNDS):
+        lo, hi = _add_rc(lo, hi, r, xp)
+        r += 1
+        lo, hi = _sbox((lo, hi))
+        lo, hi = _mds_stacked(lo, hi, xp)
+    return lo, hi
+
+
+def permute(state):
+    """Compatibility wrapper: list of 12 (lo, hi) pairs -> permuted list."""
+    xp = _xp_of(state[0][0])
+    lo = xp.stack([s[0] for s in state], axis=0)
+    hi = xp.stack([s[1] for s in state], axis=0)
+    lo, hi = permute_stacked(lo, hi)
+    return [(lo[i], hi[i]) for i in range(WIDTH)]
+
+
+def hash_no_pad(elems):
+    """Sponge over a list of (lo,hi) pairs (overwrite mode, rate 8) -> 4-pair
+    digest list.  plonky2 hash_n_to_hash_no_pad equivalent."""
+    assert elems
+    xp = _xp_of(elems[0][0])
+    zlo = xp.zeros_like(elems[0][0])
+    zhi = xp.zeros_like(elems[0][1])
+    lo = xp.stack([zlo] * WIDTH, axis=0)
+    hi = xp.stack([zhi] * WIDTH, axis=0)
+    for off in range(0, len(elems), RATE):
+        chunk = elems[off : off + RATE]
+        clo = xp.stack([xp.broadcast_to(e[0], zlo.shape) for e in chunk], axis=0)
+        chi = xp.stack([xp.broadcast_to(e[1], zhi.shape) for e in chunk], axis=0)
+        lo = xp.concatenate([clo, lo[len(chunk):]], axis=0)
+        hi = xp.concatenate([chi, hi[len(chunk):]], axis=0)
+        lo, hi = permute_stacked(lo, hi)
+    return [(lo[i], hi[i]) for i in range(4)]
+
+
+def two_to_one(left, right):
+    """Compress two 4-pair digests -> 4-pair digest."""
+    return hash_no_pad(list(left) + list(right))

@@ -1,0 +1,107 @@
+"""Prover preprocessing: fixed polynomials, their commitment, domain tables.
+
+plonky2 `CircuitData`/`ProverOnlyCircuitData` equivalent (SURVEY.md §2.9
+"builder.build::<C>()"): computed once per circuit shape, reused for every
+proof batch ("build-once / prove-many", the reference's circuit-serialization
+checkpoint analogue)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..circuit.builder import Circuit
+from ..fields import goldilocks as gl
+from ..hash import merkle
+from . import ntt
+
+P = gl.P
+
+
+@dataclass
+class CircuitData:
+    circuit: Circuit
+    n: int
+    N: int                      # LDE size = n << rate_bits
+    g: int                      # subgroup generator (order n)
+    fixed_values: np.ndarray    # [F0, n] u64: constants, selectors, sigmas
+    fixed_lde: tuple            # pairs [F0, N]
+    fixed_tree: merkle.MerkleTree
+    fixed_coeffs: tuple         # pairs [F0, n]
+    id_encodings: np.ndarray    # [80, n] u64 (k_j * g^i)
+    x_lde: np.ndarray           # [N] u64 domain points
+    zh_inv: tuple               # pairs [N]: 1 / (x^n - 1)
+    l0_lde: tuple               # pairs [N]: Lagrange L_0 over the coset
+    num_constraint_slots: int   # perm constraints + max gate constraints
+    perm_slots: int
+
+
+def build_circuit_data(circuit: Circuit) -> CircuitData:
+    cfg = circuit.config
+    n = circuit.n
+    N = n << cfg.fri.rate_bits
+    g = pow(gl.POWER_OF_TWO_GENERATOR, (1 << 32) // n, P)
+
+    fixed_values = np.concatenate(
+        [circuit.constants, circuit.selectors, circuit.sigmas], axis=0
+    ).astype(np.uint64)
+    flo, fhi = gl.from_u64(fixed_values)
+    fixed_coeffs = ntt.intt(flo, fhi)
+    clo = np.concatenate([fixed_coeffs[0],
+                          np.zeros((fixed_coeffs[0].shape[0], N - n), np.uint32)], -1)
+    chi = np.concatenate([fixed_coeffs[1],
+                          np.zeros((fixed_coeffs[1].shape[0], N - n), np.uint32)], -1)
+    fixed_lde = ntt.coset_ntt_from_coeffs(clo, chi)
+    leaves_lo = np.ascontiguousarray(fixed_lde[0].T)  # [N, F0]: polys -> leaf axis
+    leaves_hi = np.ascontiguousarray(fixed_lde[1].T)
+    fixed_tree = merkle.build_merkle_tree(leaves_lo, leaves_hi, cfg.fri.cap_height)
+
+    # identity encodings k_j * g^i
+    g_pows = np.zeros(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        g_pows[i] = acc
+        acc = acc * g % P
+    ids = np.zeros((cfg.num_routed_wires, n), dtype=np.uint64)
+    gp = gl.from_u64(g_pows)
+    for j, kj in enumerate(circuit.k_coeffs):
+        ids[j] = gl.to_u64(*gl.mul(*gp, *gl.from_int(kj, (n,))))
+
+    x_lde = ntt.lde_domain(N)
+    # Z_H(x) = x^n - 1 over the coset: shift^n * (G^n)^i - 1, period 2^rate
+    shift_n = pow(ntt.COSET_SHIFT, n, P)
+    gn = pow(pow(gl.POWER_OF_TWO_GENERATOR, (1 << 32) // N, P), n, P)
+    period = N // n
+    zh_small = [(shift_n * pow(gn, i, P) - 1) % P for i in range(period)]
+    zh_inv_small = [pow(v, -1, P) for v in zh_small]
+    zh_inv_u64 = np.tile(np.array(zh_inv_small, dtype=np.uint64), n)
+    zh_inv = gl.from_u64(zh_inv_u64)
+
+    # L_0(x) = (x^n - 1) / (n * (x - 1))
+    zh_u64 = np.tile(np.array(zh_small, dtype=np.uint64), n)
+    x_min_1 = (x_lde.astype(object) - 1) % P
+    denom = [(int(v) * n) % P for v in x_min_1]
+    denom_inv = np.array([pow(int(v), -1, P) for v in denom], dtype=np.uint64)
+    l0 = gl.mul(*gl.from_u64(zh_u64), *gl.from_u64(denom_inv))
+
+    max_gate_cons = max((gate.num_constraints for gate in circuit.gates), default=0)
+    # L_0 first-row constraint + one step constraint per chunk (last = Z(gx))
+    perm_slots = 1 + cfg.num_routed_wires // cfg.permutation_chunk_size
+
+    return CircuitData(
+        circuit=circuit,
+        n=n,
+        N=N,
+        g=g,
+        fixed_values=fixed_values,
+        fixed_lde=fixed_lde,
+        fixed_tree=fixed_tree,
+        fixed_coeffs=fixed_coeffs,
+        id_encodings=ids,
+        x_lde=x_lde,
+        zh_inv=zh_inv,
+        l0_lde=l0,
+        num_constraint_slots=perm_slots + max_gate_cons,
+        perm_slots=perm_slots,
+    )

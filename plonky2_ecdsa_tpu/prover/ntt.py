@@ -1,0 +1,208 @@
+"""Goldilocks NTT / coset LDE, vectorized over leading axes.
+
+The prover's polynomial engine (plonky2's `PolynomialValues::lde` equivalent,
+SURVEY.md §2.9 proving pipeline).  Radix-2 iterative Cooley-Tukey on
+(lo, hi) u32-pair tensors; twiddle tables are precomputed per size on the
+host and broadcast.  The same code runs under numpy and jax.numpy — stages
+are static Python loops (log2 n), shapes static, so the whole transform jits.
+
+Multi-chip sharding of the butterfly axis (all-to-all stage exchange) rides on
+top in parallel/; this module is the single-device kernel.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from ..fields import goldilocks as gl
+
+P = gl.P
+COSET_SHIFT = 7  # multiplicative group generator, plonky2's coset shift
+
+
+@lru_cache(maxsize=None)
+def _twiddles(n: int, inverse: bool):
+    """Per-stage twiddle tables (u64 numpy, converted at use)."""
+    g = pow(gl.POWER_OF_TWO_GENERATOR, (1 << 32) // n, P)
+    if inverse:
+        g = pow(g, P - 2, P)
+    stages = []
+    m = 2
+    while m <= n:
+        wm = pow(g, n // m, P)
+        row = np.zeros(m // 2, dtype=np.uint64)
+        acc = 1
+        for j in range(m // 2):
+            row[j] = acc
+            acc = acc * wm % P
+        stages.append(row)
+        m *= 2
+    return stages
+
+
+@lru_cache(maxsize=None)
+def _bitrev(n: int):
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+@lru_cache(maxsize=None)
+def _coset_powers(n: int, inverse: bool):
+    s = pow(COSET_SHIFT, P - 2, P) if inverse else COSET_SHIFT
+    out = np.zeros(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = acc * s % P
+    return out
+
+
+def ntt(lo, hi, inverse: bool = False):
+    """Forward/inverse NTT over the last axis (natural order in and out)."""
+    xp = gl._xp(lo, hi)
+    n = lo.shape[-1]
+    assert n & (n - 1) == 0
+    rev = _bitrev(n)
+    lo, hi = lo[..., rev], hi[..., rev]
+    lead = lo.shape[:-1]
+    m = 2
+    for stage in _twiddles(n, inverse):
+        half = m // 2
+        wlo, whi = gl.from_u64(stage)
+        if xp is not np:
+            import jax.numpy as jnp
+
+            wlo, whi = jnp.asarray(wlo), jnp.asarray(whi)
+        shape = lead + (n // m, m)
+        lo = lo.reshape(shape)
+        hi = hi.reshape(shape)
+        alo, ahi = lo[..., :half], hi[..., :half]
+        blo, bhi = lo[..., half:], hi[..., half:]
+        tlo, thi = gl.mul(blo, bhi, wlo, whi)
+        ulo, uhi = gl.add(alo, ahi, tlo, thi)
+        vlo, vhi = gl.sub(alo, ahi, tlo, thi)
+        lo = xp.concatenate([ulo, vlo], axis=-1).reshape(lead + (n,))
+        hi = xp.concatenate([uhi, vhi], axis=-1).reshape(lead + (n,))
+        m *= 2
+    if inverse:
+        ninv = pow(n, P - 2, P)
+        nlo, nhi = gl.from_int(ninv, (), xp)
+        lo, hi = gl.mul(lo, hi, nlo, nhi)
+    return lo, hi
+
+
+def intt(lo, hi):
+    return ntt(lo, hi, inverse=True)
+
+
+def coset_lde(lo, hi, rate_bits: int):
+    """Values on H (order n, natural order) -> values on the coset
+    COSET_SHIFT * K (order n * 2^rate_bits, natural order)."""
+    xp = gl._xp(lo, hi)
+    n = lo.shape[-1]
+    clo, chi = intt(lo, hi)
+    N = n << rate_bits
+    pad = lead_pad(clo.shape[:-1], N - n, xp)
+    clo = xp.concatenate([clo, pad], axis=-1)
+    chi = xp.concatenate([chi, pad], axis=-1)
+    return coset_ntt_from_coeffs(clo, chi)
+
+
+def coset_ntt_from_coeffs(clo, chi):
+    """Coeffs (len N) -> evals on shift * K_N."""
+    xp = gl._xp(clo, chi)
+    N = clo.shape[-1]
+    plo, phi = gl.from_u64(_coset_powers(N, False))
+    if xp is not np:
+        import jax.numpy as jnp
+
+        plo, phi = jnp.asarray(plo), jnp.asarray(phi)
+    slo, shi = gl.mul(clo, chi, plo, phi)
+    return ntt(slo, shi)
+
+
+def coset_intt(lo, hi):
+    """Evals on shift * K_N -> coefficients."""
+    xp = gl._xp(lo, hi)
+    N = lo.shape[-1]
+    clo, chi = intt(lo, hi)
+    plo, phi = gl.from_u64(_coset_powers(N, True))
+    if xp is not np:
+        import jax.numpy as jnp
+
+        plo, phi = jnp.asarray(plo), jnp.asarray(phi)
+    return gl.mul(clo, chi, plo, phi)
+
+
+def lead_pad(lead, k, xp):
+    return xp.zeros(tuple(lead) + (k,), dtype=xp.uint32)
+
+
+def lde_domain(n_lde: int) -> np.ndarray:
+    """The coset points shift * G^i, natural order (u64)."""
+    g = pow(gl.POWER_OF_TWO_GENERATOR, (1 << 32) // n_lde, P)
+    out = np.zeros(n_lde, dtype=np.uint64)
+    acc = COSET_SHIFT % P
+    for i in range(n_lde):
+        out[i] = acc
+        acc = acc * g % P
+    return out
+
+
+def eval_poly_ext(clo, chi, zpows):
+    """Evaluate base-coefficient polys at an extension point.
+
+    clo/chi: [..., n]; zpows: ext powers from `ext_powers` broadcastable to
+    [..., n].  Returns ext pair of shape [...]."""
+    xp = gl._xp(clo, chi)
+    p0 = gl.mul(clo, chi, *zpows[0])
+    p1 = gl.mul(clo, chi, *zpows[1])
+    return (_sum_last(p0, xp), _sum_last(p1, xp))
+
+
+def _sum_last(pair, xp):
+    """Sum a pair array over the last axis, mod p (tree reduction)."""
+    lo, hi = pair
+    while lo.shape[-1] > 1:
+        k = lo.shape[-1]
+        if k % 2:
+            lo = xp.concatenate([lo, xp.zeros(lo.shape[:-1] + (1,), xp.uint32)], -1)
+            hi = xp.concatenate([hi, xp.zeros(hi.shape[:-1] + (1,), xp.uint32)], -1)
+            k += 1
+        lo1, hi1 = lo[..., : k // 2], hi[..., : k // 2]
+        lo2, hi2 = lo[..., k // 2 :], hi[..., k // 2 :]
+        lo, hi = gl.add(lo1, hi1, lo2, hi2)
+    return lo[..., 0], hi[..., 0]
+
+
+def ext_powers(zeta, n: int):
+    """[1, zeta, ..., zeta^(n-1)] along a NEW last axis.
+
+    zeta: ext pair with arbitrary (e.g. batch) shape S -> ext pair arrays of
+    shape [*S, n].  Log-depth doubling, vectorized, jit-friendly."""
+    xp = gl._xp(zeta[0][0])
+
+    def expand(pair):
+        return (pair[0][..., None], pair[1][..., None])
+
+    one0 = (xp.ones_like(zeta[0][0])[..., None], xp.zeros_like(zeta[0][1])[..., None])
+    one1 = (xp.zeros_like(zeta[1][0])[..., None], xp.zeros_like(zeta[1][1])[..., None])
+    out = (one0, one1)  # length 1
+    p = (expand(zeta[0]), expand(zeta[1]))  # zeta^(current length)
+    while out[0][0].shape[-1] < n:
+        nxt = gl.ext_mul(out, p)
+        out = (
+            (xp.concatenate([out[0][0], nxt[0][0]], -1), xp.concatenate([out[0][1], nxt[0][1]], -1)),
+            (xp.concatenate([out[1][0], nxt[1][0]], -1), xp.concatenate([out[1][1], nxt[1][1]], -1)),
+        )
+        p = gl.ext_square(p)
+    return (
+        (out[0][0][..., :n], out[0][1][..., :n]),
+        (out[1][0][..., :n], out[1][1][..., :n]),
+    )

@@ -1,0 +1,179 @@
+"""Prover stack tests: NTT, Poseidon/Merkle, and end-to-end prove+verify on
+small circuits (the reference's gadget tests all run through the real prover,
+SURVEY.md §4; CPU-sized circuits here, full ECDSA proving on device)."""
+
+import numpy as np
+import pytest
+
+from plonky2_ecdsa_tpu.circuit.builder import CircuitBuilder
+from plonky2_ecdsa_tpu.circuit.config import CircuitConfig
+from plonky2_ecdsa_tpu.fields import goldilocks as gl
+from plonky2_ecdsa_tpu.hash import merkle, poseidon
+from plonky2_ecdsa_tpu.prover import ntt
+from plonky2_ecdsa_tpu.prover.data import build_circuit_data
+from plonky2_ecdsa_tpu.prover.prover import prove
+from plonky2_ecdsa_tpu.prover.verifier import verify
+
+P = gl.P
+
+
+def test_ntt_roundtrip(rng):
+    n = 64
+    vals = rng.integers(0, P, size=(3, n), dtype=np.uint64) % np.uint64(P)
+    pair = gl.from_u64(vals)
+    back = ntt.intt(*ntt.ntt(*pair))
+    assert np.array_equal(gl.to_u64(*back), vals)
+
+
+def test_ntt_matches_naive_dft(rng):
+    n = 8
+    g = pow(gl.POWER_OF_TWO_GENERATOR, (1 << 32) // n, P)
+    vals = [int(x) % P for x in rng.integers(0, P, n, dtype=np.uint64)]
+    pair = gl.from_u64(np.array(vals, dtype=np.uint64))
+    got = gl.to_u64(*ntt.ntt(*pair)).tolist()
+    # interpret input as coefficients: output[i] = sum_j c_j g^(ij)
+    want = [sum(vals[j] * pow(g, i * j, P) for j in range(n)) % P for i in range(n)]
+    assert got == want
+
+
+def test_coset_lde_agrees_pointwise(rng):
+    n, rate = 16, 3
+    vals = rng.integers(0, P, size=n, dtype=np.uint64) % np.uint64(P)
+    pair = gl.from_u64(vals)
+    lde = ntt.coset_lde(*pair, rate)
+    # polynomial through values: coeffs
+    coeffs = [int(v) for v in gl.to_u64(*ntt.intt(*pair))]
+    N = n << rate
+    pts = ntt.lde_domain(N)
+    for i in [0, 1, 5, N - 1]:
+        x = int(pts[i])
+        want = sum(c * pow(x, k, P) for k, c in enumerate(coeffs)) % P
+        assert int(gl.to_u64(*lde)[i]) == want
+
+
+def test_ext_powers(rng):
+    z = (gl.from_int(123456789, (2,)), gl.from_int(987654321, (2,)))
+    zp = ntt.ext_powers(z, 8)
+    z0, z1 = 123456789, 987654321
+    a0, a1 = 1, 0
+    for k in range(8):
+        assert int(gl.to_u64(*zp[0][0:2][0])[0, k] if False else gl.to_u64(zp[0][0][..., k], zp[0][1][..., k])[0]) == a0
+        assert int(gl.to_u64(zp[1][0][..., k], zp[1][1][..., k])[0]) == a1
+        a0, a1 = (a0 * z0 + 7 * a1 * z1) % P, (a0 * z1 + a1 * z0) % P
+
+
+def test_poseidon_shapes_and_determinism():
+    elems = [gl.from_int(i + 1, (5,)) for i in range(10)]
+    d1 = poseidon.hash_no_pad(elems)
+    d2 = poseidon.hash_no_pad(elems)
+    assert len(d1) == 4
+    for a, b in zip(d1, d2):
+        assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    # different input -> different hash
+    elems2 = [gl.from_int(i + 2, (5,)) for i in range(10)]
+    d3 = poseidon.hash_no_pad(elems2)
+    assert not np.array_equal(d1[0][0], d3[0][0])
+
+
+def test_merkle_roundtrip(rng):
+    L, Wd = 32, 3
+    data = rng.integers(0, P, size=(L, Wd), dtype=np.uint64) % np.uint64(P)
+    lo, hi = gl.from_u64(data)
+    tree = merkle.build_merkle_tree(lo, hi, cap_height=1)
+    for idx in [0, 7, 31]:
+        path = tree.open(np.array([idx]))
+        ok = merkle.verify_merkle_proof(
+            lo[idx], hi[idx], idx, np.asarray(path[0][0]), np.asarray(path[1][0]),
+            np.asarray(tree.cap[0]), np.asarray(tree.cap[1]))
+        assert ok
+    # corrupt leaf
+    path = tree.open(np.array([3]))
+    bad_lo = lo[3].copy()
+    bad_lo[0] ^= np.uint32(1)
+    assert not merkle.verify_merkle_proof(
+        bad_lo, hi[3], 3, np.asarray(path[0][0]), np.asarray(path[1][0]),
+        np.asarray(tree.cap[0]), np.asarray(tree.cap[1]))
+
+
+def _small_circuit():
+    b = CircuitBuilder(CircuitConfig.test_config())
+    x = b.add_virtual_target()
+    y = b.add_virtual_target()
+    b.register_input("x", [x])
+    b.register_input("y", [y])
+    z = b.mul(x, y)
+    w = b.mul_add(z, z, y)
+    bits = b.split_le_base2(x, 29)
+    b.range_check(x, 29)
+    v = b.random_access(bits[0], [b.constant(i * i) for i in range(16)])
+    eq = b.is_equal(x, y)
+    out = b.select(eq, z, w)
+    b.register_public_inputs([z, w, out, v])
+    return b
+
+
+_CACHE = {}
+
+
+def _prove_small(B):
+    if B in _CACHE:
+        return _CACHE[B]
+    rng = np.random.default_rng(42 + B)
+    b = _small_circuit()
+    c = b.build()
+    xs = (rng.integers(0, 1 << 29, size=(B, 1), dtype=np.uint64))
+    ys = (rng.integers(0, P, size=(B, 1), dtype=np.uint64) % np.uint64(P))
+    W = c.generate_witness({"x": xs, "y": ys}, B)
+    pis = c.public_input_values()
+    data = build_circuit_data(c)
+    proof = prove(data, W, pis)
+    _CACHE[B] = (data, proof, c)
+    return data, proof, c
+
+
+def test_prove_verify_small():
+    data, proof, c = _prove_small(2)
+    assert verify(data, proof)
+
+
+def test_verify_rejects_tampered_opening():
+    import copy
+
+    data, proof, c = _prove_small(2)
+    proof = copy.deepcopy(proof)
+    proof.openings0[0][0][0, 5] ^= np.uint32(1)
+    with pytest.raises(AssertionError):
+        verify(data, proof)
+
+
+def test_verify_rejects_tampered_pi():
+    import copy
+
+    data, proof, c = _prove_small(2)
+    proof = copy.deepcopy(proof)
+    proof.pis[0, 0] ^= np.uint64(1)
+    with pytest.raises(AssertionError):
+        verify(data, proof)
+
+
+def test_verify_rejects_tampered_fri_data():
+    import copy
+
+    data, proof, c = _prove_small(2)
+    proof = copy.deepcopy(proof)
+    if proof.fri_proof.layer_leaves:
+        proof.fri_proof.layer_leaves[0][0][0, 0, 0] ^= np.uint32(1)
+    else:  # tiny circuits fold zero layers; tamper the final polynomial
+        proof.fri_proof.final_coeffs[0][0][0, 0] ^= np.uint32(1)
+    with pytest.raises(AssertionError):
+        verify(data, proof)
+
+
+def test_verify_rejects_tampered_initial_leaf():
+    import copy
+
+    data, proof, c = _prove_small(2)
+    proof = copy.deepcopy(proof)
+    proof.initial_leaves["wires"][0][0, 0, 3] ^= np.uint32(1)
+    with pytest.raises(AssertionError):
+        verify(data, proof)
