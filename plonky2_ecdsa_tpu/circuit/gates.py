@@ -637,3 +637,189 @@ class RandomAccessGate(Gate):
                 ]
             out.append(alg.sub(items[0], wires[self.wire_out(c)]))
         return out
+
+
+# ---------------------------------------------------------------------------
+# Stacked (vectorized) constraint evaluation for the prover hot path.
+#
+# The prover evaluates every gate's constraints over the whole LDE coset; the
+# per-constraint `eval` lists above are kept as the reference semantics (and
+# used by the verifier at a single point), while `eval_stacked` computes the
+# same constraints as one tensor program with a leading constraint axis —
+# identical values, 10-50x fewer primitives (matters for numpy dispatch and
+# for jax trace/compile size).  Each implementation MUST produce constraints
+# in exactly `eval`'s order.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+from ..fields import goldilocks as _gl
+
+
+def _pair_stack(pairs, xp):
+    return (xp.stack([p[0] for p in pairs], 0), xp.stack([p[1] for p in pairs], 0))
+
+
+def _sum_axis0(lo, hi):
+    """Tree-reduce a pair array over axis 0 (mod p)."""
+    xp = _gl._xp(lo)
+    while lo.shape[0] > 1:
+        k = lo.shape[0]
+        if k % 2:
+            lo = xp.concatenate([lo, xp.zeros((1,) + lo.shape[1:], xp.uint32)], 0)
+            hi = xp.concatenate([hi, xp.zeros((1,) + hi.shape[1:], xp.uint32)], 0)
+            k += 1
+        lo, hi = _gl.add(lo[: k // 2], hi[: k // 2], lo[k // 2 :], hi[k // 2 :])
+    return lo[0], hi[0]
+
+
+def _const_pair_vec(vals, ndim_tail, xp):
+    """list of ints -> pair arrays [len, 1, 1, ...] for broadcasting."""
+    u = _np.array([v % _gl.P for v in vals], dtype=_np.uint64)
+    lo, hi = _gl.from_u64(u)
+    shape = (len(vals),) + (1,) * ndim_tail
+    lo = lo.reshape(shape)
+    hi = hi.reshape(shape)
+    if xp is not _np:
+        lo, hi = xp.asarray(lo), xp.asarray(hi)
+    return lo, hi
+
+
+def _gate_eval_stacked_default(self, alg, warr, consts, ctx):
+    wires = [(warr[0][i], warr[1][i]) for i in range(self.num_wires)]
+    cons = self.eval(alg, wires, consts, ctx)
+    return _pair_stack(cons, alg.xp)
+
+
+Gate.eval_stacked = _gate_eval_stacked_default
+
+
+def _arith_eval_stacked(self, alg, warr, consts, ctx):
+    lo, hi = warr
+    m1 = (lo[0::4], hi[0::4])
+    m2 = (lo[1::4], hi[1::4])
+    ad = (lo[2::4], hi[2::4])
+    out = (lo[3::4], hi[3::4])
+    c0 = (consts[0][0][None], consts[0][1][None])
+    c1 = (consts[1][0][None], consts[1][1][None])
+    t = _gl.mul(*_gl.mul(*c0, *m1), *m2)
+    t = _gl.add(*t, *_gl.mul(*c1, *ad))
+    return _gl.sub(*t, *out)
+
+
+ArithmeticGate.eval_stacked = _arith_eval_stacked
+
+
+def _basesum_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    lo, hi = warr
+    stride = 1 + self.bits
+    vals = (lo[0::stride], hi[0::stride])  # [ops, ...]
+    bit_idx = _np.array([[op * stride + 1 + j for j in range(self.bits)]
+                         for op in range(self.num_ops)])
+    bits = (lo[bit_idx], hi[bit_idx])  # [ops, bits, ...]
+    w2 = _const_pair_vec([1 << j for j in range(self.bits)], lo.ndim - 1, xp)
+    w2 = (w2[0][None], w2[1][None])  # [1, bits, 1...]
+    rec = _sum_axis0_pairwise(_gl.mul(*bits, *w2))
+    recc = _gl.sub(*rec, *vals)  # [ops, ...]
+    bool_c = _gl.mul(*bits, *_gl.add(*bits, *_add_const_pair(bits, -1, xp)))  # [ops, bits, ...]
+    block_lo = xp.concatenate([recc[0][:, None], bool_c[0]], 1)
+    block_hi = xp.concatenate([recc[1][:, None], bool_c[1]], 1)
+    nw = block_lo.shape
+    return (block_lo.reshape((nw[0] * nw[1],) + nw[2:]),
+            block_hi.reshape((nw[0] * nw[1],) + nw[2:]))
+
+
+def _sum_axis0_pairwise(pair):
+    """Sum a pair array over axis 1 (keeping axis 0)."""
+    lo, hi = pair
+    xp = _gl._xp(lo)
+    while lo.shape[1] > 1:
+        k = lo.shape[1]
+        if k % 2:
+            lo = xp.concatenate([lo, xp.zeros(lo.shape[:1] + (1,) + lo.shape[2:], xp.uint32)], 1)
+            hi = xp.concatenate([hi, xp.zeros(hi.shape[:1] + (1,) + hi.shape[2:], xp.uint32)], 1)
+            k += 1
+        lo, hi = _gl.add(lo[:, : k // 2], hi[:, : k // 2], lo[:, k // 2 :], hi[:, k // 2 :])
+    return lo[:, 0], hi[:, 0]
+
+
+def _add_const_pair(pair, c, xp):
+    u = _np.uint64(c % _gl.P)
+    clo, chi = _gl.from_u64(u)
+    shape = (1,) * pair[0].ndim
+    arr_lo = _np.full(shape, clo, _np.uint32)
+    arr_hi = _np.full(shape, chi, _np.uint32)
+    if xp is not _np:
+        arr_lo, arr_hi = xp.asarray(arr_lo), xp.asarray(arr_hi)
+    return (arr_lo, arr_hi)
+
+
+BaseSum2Gate.eval_stacked = _basesum_eval_stacked
+
+
+def _rangecheck_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    lo, hi = warr
+    V, nl = self.num_vals, self.num_limbs
+    vals = (lo[:V], hi[:V])
+    limb_idx = _np.array([[self.wire_limb(v, j) for j in range(nl)] for v in range(V)])
+    limbs = (lo[limb_idx], hi[limb_idx])  # [V, nl, ...]
+    w4 = _const_pair_vec([1 << (2 * j) for j in range(nl)], lo.ndim - 1, xp)
+    w4 = (w4[0][None], w4[1][None])
+    rec = _sum_axis0_pairwise(_gl.mul(*limbs, *w4))
+    recc = _gl.sub(*rec, *vals)
+    lm1 = _add_const_pair(limbs, -1, xp)
+    c2 = _gl.mul(*limbs, *_gl.add(*limbs, *lm1))  # l(l-1)
+    c4 = _gl.mul(*_gl.mul(*c2, *_gl.add(*limbs, *_add_const_pair(limbs, -2, xp))),
+                 *_gl.add(*limbs, *_add_const_pair(limbs, -3, xp)))
+    if self.top_base == 2:
+        limb_cons = (xp.concatenate([c4[0][:, : nl - 1], c2[0][:, nl - 1 :]], 1),
+                     xp.concatenate([c4[1][:, : nl - 1], c2[1][:, nl - 1 :]], 1))
+    else:
+        limb_cons = c4
+    block_lo = xp.concatenate([recc[0][:, None], limb_cons[0]], 1)
+    block_hi = xp.concatenate([recc[1][:, None], limb_cons[1]], 1)
+    nw = block_lo.shape
+    return (block_lo.reshape((nw[0] * nw[1],) + nw[2:]),
+            block_hi.reshape((nw[0] * nw[1],) + nw[2:]))
+
+
+RangeCheckGate.eval_stacked = _rangecheck_eval_stacked
+
+
+def _mulnn_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    lo, hi = warr
+    N = self.N
+    xs = (lo[:N], hi[:N])
+    ys = (lo[N : 2 * N], hi[N : 2 * N])
+    rs = (lo[2 * N : 3 * N], hi[2 * N : 3 * N])
+    qs = (lo[3 * N : 4 * N], hi[3 * N : 4 * N])
+    bs = (lo[4 * N :], hi[4 * N :])  # [16, ...]
+    m = _const_pair_vec(self.ff.limbs29, lo.ndim - 1, xp)
+    # D[j, k] = m_j * q_k - x_j * y_k  -> conv_i = sum_{j+k=i} D[j, k]
+    qm = _gl.mul(*(m[0][:, None], m[1][:, None]), *(qs[0][None], qs[1][None]))
+    xy = _gl.mul(*(xs[0][:, None], xs[1][:, None]), *(ys[0][None], ys[1][None]))
+    D = _gl.sub(*qm, *xy)  # [9, 9, ...]
+    tail = D[0].shape[2:]
+    rows_lo, rows_hi = [], []
+    for j in range(N):
+        zpre = xp.zeros((j,) + tail, xp.uint32)
+        zpost = xp.zeros((N - 1 - j,) + tail, xp.uint32)
+        rows_lo.append(xp.concatenate([zpre, D[0][j], zpost], 0))
+        rows_hi.append(xp.concatenate([zpre, D[1][j], zpost], 0))
+    # stack shifted rows along axis 1 -> [17, 9, ...], then sum that axis
+    conv = _sum_axis0_pairwise((xp.stack(rows_lo, 1), xp.stack(rows_hi, 1)))
+    z8 = xp.zeros((N - 1,) + tail, xp.uint32)
+    rpad = (xp.concatenate([rs[0], z8], 0), xp.concatenate([rs[1], z8], 0))
+    boff = _gl.add(*bs, *_add_const_pair(bs, -CARRY_OFFSET, xp))
+    z1 = xp.zeros((1,) + tail, xp.uint32)
+    prevpad = (xp.concatenate([z1, boff[0]], 0), xp.concatenate([z1, boff[1]], 0))
+    curpad = (xp.concatenate([boff[0], z1], 0), xp.concatenate([boff[1], z1], 0))
+    acc = _gl.add(*conv, *rpad)
+    acc = _gl.add(*acc, *prevpad)
+    return _gl.sub(*acc, *_gl.mul_small(*curpad, _np.uint32(1 << BITS)))
+
+
+MulNonNativeGate.eval_stacked = _mulnn_eval_stacked

@@ -115,6 +115,8 @@ def _add_rc(lo, hi, r, xp):
 def permute_stacked(lo, hi):
     """(lo, hi) with leading axis WIDTH -> permuted pair."""
     xp = _xp_of(lo)
+    if xp is not np:
+        return _permute_stacked_jax(lo, hi)
     r = 0
     for _ in range(HALF_FULL_ROUNDS):
         lo, hi = _add_rc(lo, hi, r, xp)
@@ -136,6 +138,52 @@ def permute_stacked(lo, hi):
     return lo, hi
 
 
+_PERMUTE_JIT = None
+
+
+def _permute_stacked_jax(lo, hi):
+    """JAX path: the permutation body is itself jitted, so each of the ~100
+    call sites in a full prove emits one cached pjit call instead of
+    re-tracing ~3k primitives."""
+    global _PERMUTE_JIT
+    if _PERMUTE_JIT is None:
+        import jax
+
+        _PERMUTE_JIT = jax.jit(_permute_rounds_jax)
+    return _PERMUTE_JIT(lo, hi)
+
+
+def _permute_rounds_jax(lo, hi):
+    import jax
+    import jax.numpy as jnp
+
+    rc_lo = jnp.asarray(_RC_LO)  # [30, 12]
+    rc_hi = jnp.asarray(_RC_HI)
+    shape_tail = (1,) * (lo.ndim - 1)
+
+    def round_body(r, state, partial):
+        lo, hi = state
+        rl = rc_lo[r].reshape((WIDTH,) + shape_tail)
+        rh = rc_hi[r].reshape((WIDTH,) + shape_tail)
+        lo, hi = gl.add(lo, hi, rl, rh)
+        if partial:
+            s0 = _sbox((lo[0], hi[0]))
+            lo = lo.at[0].set(s0[0])
+            hi = hi.at[0].set(s0[1])
+        else:
+            lo, hi = _sbox((lo, hi))
+        return _mds_stacked(lo, hi, jnp)
+
+    state = (lo, hi)
+    state = jax.lax.fori_loop(0, HALF_FULL_ROUNDS,
+                              lambda r, s: round_body(r, s, False), state)
+    state = jax.lax.fori_loop(HALF_FULL_ROUNDS, HALF_FULL_ROUNDS + PARTIAL_ROUNDS,
+                              lambda r, s: round_body(r, s, True), state)
+    state = jax.lax.fori_loop(HALF_FULL_ROUNDS + PARTIAL_ROUNDS, TOTAL_ROUNDS,
+                              lambda r, s: round_body(r, s, False), state)
+    return state
+
+
 def permute(state):
     """Compatibility wrapper: list of 12 (lo, hi) pairs -> permuted list."""
     xp = _xp_of(state[0][0])
@@ -147,19 +195,47 @@ def permute(state):
 
 def hash_no_pad(elems):
     """Sponge over a list of (lo,hi) pairs (overwrite mode, rate 8) -> 4-pair
-    digest list.  plonky2 hash_n_to_hash_no_pad equivalent."""
+    digest list.  plonky2 hash_n_to_hash_no_pad equivalent.
+
+    Under JAX the full-rate absorb chunks run as one lax.scan so the traced
+    program holds a single permutation body per sponge call site."""
     assert elems
     xp = _xp_of(elems[0][0])
     zlo = xp.zeros_like(elems[0][0])
     zhi = xp.zeros_like(elems[0][1])
     lo = xp.stack([zlo] * WIDTH, axis=0)
     hi = xp.stack([zhi] * WIDTH, axis=0)
-    for off in range(0, len(elems), RATE):
-        chunk = elems[off : off + RATE]
-        clo = xp.stack([xp.broadcast_to(e[0], zlo.shape) for e in chunk], axis=0)
-        chi = xp.stack([xp.broadcast_to(e[1], zhi.shape) for e in chunk], axis=0)
-        lo = xp.concatenate([clo, lo[len(chunk):]], axis=0)
-        hi = xp.concatenate([chi, hi[len(chunk):]], axis=0)
+    nfull = len(elems) // RATE
+    if xp is not np and nfull > 1:
+        import jax
+
+        clo = xp.stack([xp.stack([xp.broadcast_to(elems[i * RATE + j][0], zlo.shape)
+                                  for j in range(RATE)], 0) for i in range(nfull)], 0)
+        chi = xp.stack([xp.stack([xp.broadcast_to(elems[i * RATE + j][1], zhi.shape)
+                                  for j in range(RATE)], 0) for i in range(nfull)], 0)
+
+        def body(state, chunk):
+            slo, shi = state
+            slo = xp.concatenate([chunk[0], slo[RATE:]], axis=0)
+            shi = xp.concatenate([chunk[1], shi[RATE:]], axis=0)
+            return permute_stacked(slo, shi), None
+
+        (lo, hi), _ = jax.lax.scan(body, (lo, hi), (clo, chi))
+        rest = elems[nfull * RATE:]
+    else:
+        rest = None
+        for off in range(0, len(elems), RATE):
+            chunk = elems[off : off + RATE]
+            clo = xp.stack([xp.broadcast_to(e[0], zlo.shape) for e in chunk], axis=0)
+            chi = xp.stack([xp.broadcast_to(e[1], zhi.shape) for e in chunk], axis=0)
+            lo = xp.concatenate([clo, lo[len(chunk):]], axis=0)
+            hi = xp.concatenate([chi, hi[len(chunk):]], axis=0)
+            lo, hi = permute_stacked(lo, hi)
+    if rest:
+        clo = xp.stack([xp.broadcast_to(e[0], zlo.shape) for e in rest], axis=0)
+        chi = xp.stack([xp.broadcast_to(e[1], zhi.shape) for e in rest], axis=0)
+        lo = xp.concatenate([clo, lo[len(rest):]], axis=0)
+        hi = xp.concatenate([chi, hi[len(rest):]], axis=0)
         lo, hi = permute_stacked(lo, hi)
     return [(lo[i], hi[i]) for i in range(4)]
 

@@ -3,12 +3,14 @@
 plonky2 FRI equivalent (SURVEY.md §2.9 proving pipeline: "FRI folding + query
 openings").  Arity-2 folds; each committed layer's Merkle leaf holds the
 (F(x), F(-x)) extension pair so one query opens both fold inputs.  All arrays
-carry a leading batch axis; query indices are per-batch-element.
+carry a leading batch axis; query indices are per-batch-element.  Backend
+generic (numpy / jax.numpy).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -19,16 +21,24 @@ from . import ntt
 P = gl.P
 
 
-def _ext_stack4(e, half):
+def plan(N: int, cfg):
+    """(num_layers, final_size, nfinal) for the fold schedule."""
+    final_size = min(N, 1 << (cfg.fri.final_poly_max_degree_bits + cfg.fri.rate_bits))
+    num_layers = max(0, (N // final_size).bit_length() - 1)
+    return num_layers, final_size, final_size >> cfg.fri.rate_bits
+
+
+def _ext_stack4(e, half, xp):
     """ext pair [B, size] -> leaf data [B, half, 4]: (c0[j], c1[j], c0[j+h], c1[j+h])."""
     (l0, h0), (l1, h1) = e
-    lo = np.stack([l0[..., :half], l1[..., :half], l0[..., half:], l1[..., half:]], -1)
-    hi = np.stack([h0[..., :half], h1[..., :half], h0[..., half:], h1[..., half:]], -1)
+    lo = xp.stack([l0[..., :half], l1[..., :half], l0[..., half:], l1[..., half:]], -1)
+    hi = xp.stack([h0[..., :half], h1[..., :half], h0[..., half:], h1[..., half:]], -1)
     return lo, hi
 
 
+@lru_cache(maxsize=None)
 def _domain_tables(N, num_layers):
-    """Per-layer tables of 1/(2*x_j) (u64 [half]) and layer shifts."""
+    """Per-layer (shift, generator, inv(2x_j) table) and the final shift."""
     tables = []
     shift = ntt.COSET_SHIFT
     size = N
@@ -51,21 +61,14 @@ def _domain_tables(N, num_layers):
 class FriProof:
     caps: list          # per layer: (lo, hi) [B, C, 4]
     final_coeffs: tuple  # ext pair [B, nfinal]
-    indices: np.ndarray  # [B, Q] int64
+    indices: object      # [B, Q] integer array
     layer_leaves: list  # per layer: (lo, hi) [B, Q, 4]
     layer_paths: list   # per layer: (lo, hi) [B, Q, depth, 4]
 
 
-def plan(N: int, cfg):
-    """(num_layers, final_size, nfinal) for the fold schedule."""
-    final_size = min(N, 1 << (cfg.fri.final_poly_max_degree_bits + cfg.fri.rate_bits))
-    num_layers = max(0, (N // final_size).bit_length() - 1)
-    return num_layers, final_size, final_size >> cfg.fri.rate_bits
-
-
-def fri_prove(challenger, F, N: int, cfg) -> FriProof:
+def fri_prove(challenger, F, N: int, cfg, xp=np) -> FriProof:
     """F: ext pair arrays [B, N] (the reduced batch polynomial's LDE evals)."""
-    num_layers, final_size, _ = plan(N, cfg)
+    num_layers, final_size, nfinal = plan(N, cfg)
     tables, final_shift = _domain_tables(N, num_layers)
 
     trees = []
@@ -73,23 +76,25 @@ def fri_prove(challenger, F, N: int, cfg) -> FriProof:
     caps = []
     cur = F
     size = N
+    inv2 = gl.from_int(pow(2, -1, P), (), xp)
     for shift, g, inv2x in tables:
         half = size // 2
-        lo, hi = _ext_stack4(cur, half)
+        lo, hi = _ext_stack4(cur, half, xp)
         tree = merkle.build_merkle_tree(lo, hi, cfg.fri.cap_height)
         trees.append(tree)
         leaves_store.append((lo, hi))
         caps.append(tree.cap)
         challenger.observe_cap(tree.cap)
         beta = challenger.get_ext()
-        a = (( cur[0][0][..., :half], cur[0][1][..., :half]),
-             ( cur[1][0][..., :half], cur[1][1][..., :half]))
-        b = (( cur[0][0][..., half:], cur[0][1][..., half:]),
-             ( cur[1][0][..., half:], cur[1][1][..., half:]))
+        a = ((cur[0][0][..., :half], cur[0][1][..., :half]),
+             (cur[1][0][..., :half], cur[1][1][..., :half]))
+        b = ((cur[0][0][..., half:], cur[0][1][..., half:]),
+             (cur[1][0][..., half:], cur[1][1][..., half:]))
         s = gl.ext_add(a, b)
         d = gl.ext_sub(a, b)
-        inv2 = gl.from_int(pow(2, -1, P), (), np)
         i2x = gl.from_u64(inv2x)
+        if xp is not np:
+            i2x = (xp.asarray(i2x[0]), xp.asarray(i2x[1]))
         even = (gl.mul(*s[0], *inv2), gl.mul(*s[1], *inv2))
         odd = (gl.mul(*d[0], *i2x), gl.mul(*d[1], *i2x))
         bexp = ((beta[0][0][..., None], beta[0][1][..., None]),
@@ -98,7 +103,6 @@ def fri_prove(challenger, F, N: int, cfg) -> FriProof:
         size = half
 
     # final polynomial: coset INTT with the accumulated shift
-    _, _, nfinal = plan(N, cfg)
     shift_inv = pow(final_shift, -1, P)
     sp = np.zeros(size, dtype=np.uint64)
     acc = 1
@@ -106,6 +110,8 @@ def fri_prove(challenger, F, N: int, cfg) -> FriProof:
         sp[i] = acc
         acc = acc * shift_inv % P
     spl = gl.from_u64(sp)
+    if xp is not np:
+        spl = (xp.asarray(spl[0]), xp.asarray(spl[1]))
     comp = []
     for c in range(2):
         clo, chi = ntt.intt(*cur[c])
@@ -117,8 +123,9 @@ def fri_prove(challenger, F, N: int, cfg) -> FriProof:
         challenger.observe((final_coeffs[1][0][..., k], final_coeffs[1][1][..., k]))
 
     idx_list = challenger.get_indices(N, cfg.fri.num_query_rounds)
-    indices = np.stack([np.asarray(ix, dtype=np.int64) for ix in idx_list], axis=-1)  # [B, Q]
+    indices = xp.stack([ix.astype(xp.int32) for ix in idx_list], axis=-1)  # [B, Q]
 
+    take = np.take_along_axis if xp is np else _jnp_take_along
     layer_leaves = []
     layer_paths = []
     idx = indices
@@ -126,12 +133,16 @@ def fri_prove(challenger, F, N: int, cfg) -> FriProof:
     for tree, (llo, lhi) in zip(trees, leaves_store):
         half = size // 2
         li = idx % half
-        leaf_lo = np.take_along_axis(llo, li[..., None], axis=-2)  # [B, Q, 4]
-        leaf_hi = np.take_along_axis(lhi, li[..., None], axis=-2)
-        layer_leaves.append((leaf_lo, leaf_hi))
+        layer_leaves.append((take(llo, li[..., None], -2), take(lhi, li[..., None], -2)))
         layer_paths.append(tree.open(li))
         idx = li
         size = half
 
     return FriProof(caps=caps, final_coeffs=final_coeffs, indices=indices,
                     layer_leaves=layer_leaves, layer_paths=layer_paths)
+
+
+def _jnp_take_along(arr, idx, axis):
+    import jax.numpy as jnp
+
+    return jnp.take_along_axis(arr, idx, axis=axis)
