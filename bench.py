@@ -1,0 +1,112 @@
+"""Benchmark harness: batched secp256k1 ECDSA proving throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: full PLONK+FRI proofs of in-circuit secp256k1 ECDSA verification
+(the reference's test_ecdsa_circuit_narrow workload, src/gadgets/ecdsa.rs:163)
+produced per second on one chip, steady-state jitted device pipeline.
+
+Baseline anchor (see BASELINE.md): the reference publishes no numbers and
+Rust is not available in this image, so `vs_baseline` is computed against the
+documented ESTIMATE of the Rust-CPU reference: 0.2 proofs/sec (≈5 s per
+proof for a 2^15-row circuit with plonky2's rayon parallel prover on a
+CI-class CPU).  Replace with a measured anchor when a Rust toolchain is
+available.
+
+Env knobs: BENCH_BATCH (default: platform-dependent), BENCH_REPS (default 3),
+BENCH_SMALL=1 benches the nonnative-mul-chain microcircuit instead.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+RUST_CPU_PROOFS_PER_SEC_EST = 0.2  # documented estimate, BASELINE.md
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform  # "axon"/"tpu" = real chip, "cpu" = host
+    on_device = platform != "cpu"
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    small = os.environ.get("BENCH_SMALL") == "1"
+
+    from plonky2_ecdsa_tpu.prover.data import build_circuit_data
+    from plonky2_ecdsa_tpu.prover.prover import make_jit_prover
+    from plonky2_ecdsa_tpu.prover.verifier import verify
+
+    if small:
+        from plonky2_ecdsa_tpu.circuit.examples import nonnative_mul_chain_circuit
+
+        B = int(os.environ.get("BENCH_BATCH", "64" if on_device else "4"))
+        b = nonnative_mul_chain_circuit()
+        circuit = b.build()
+        num_muls = 11
+        rng = np.random.default_rng(7)
+        from plonky2_ecdsa_tpu.api import int_to_limbs
+        from plonky2_ecdsa_tpu.curve import native as cn
+
+        xs = [int.from_bytes(rng.bytes(40), "little") % cn.SECP256K1.p for _ in range(B)]
+        ys = [int.from_bytes(rng.bytes(40), "little") % cn.SECP256K1.p for _ in range(B)]
+        W = circuit.generate_witness({"x": int_to_limbs(xs), "y": int_to_limbs(ys)}, B)
+        pis = circuit.public_input_values()
+        data = build_circuit_data(circuit)
+        run = make_jit_prover(data)
+        proof = run(W, pis)  # compile + warmup
+        assert verify(data, proof)
+        t0 = time.time()
+        for _ in range(reps):
+            proof = run(W, pis)
+            jax.block_until_ready(proof.openings0)
+        dt = (time.time() - t0) / reps
+        value = B * num_muls / dt
+        print(json.dumps({
+            "metric": "nonnative_muls_proved_per_sec_per_chip",
+            "value": round(value, 2), "unit": "muls/s",
+            "vs_baseline": round(value / (RUST_CPU_PROOFS_PER_SEC_EST * 11), 2),
+        }))
+        return
+
+    from plonky2_ecdsa_tpu import api
+    from plonky2_ecdsa_tpu.curve import native as cn
+
+    B = int(os.environ.get("BENCH_BATCH", "8" if on_device else "1"))
+    t0 = time.time()
+    system = api.EcdsaProverSystem(cn.SECP256K1)
+    build_s = time.time() - t0
+    t0 = time.time()
+    stmts = api.random_statements(cn.SECP256K1, B, seed=3)
+    W, pis = system.witness(stmts)
+    wit_s = time.time() - t0
+    t0 = time.time()
+    data = system.data
+    data_s = time.time() - t0
+    run = make_jit_prover(data)
+    t0 = time.time()
+    proof = run(W, pis)  # compile + first run
+    compile_s = time.time() - t0
+    assert system.verify(proof), "bench proof failed verification"
+    t0 = time.time()
+    for _ in range(reps):
+        proof = run(W, pis)
+        jax.block_until_ready(proof.openings0)
+    dt = (time.time() - t0) / reps
+    value = B / dt
+    print(f"# platform={platform} B={B} n={system.n} build={build_s:.1f}s "
+          f"witness={wit_s:.1f}s data={data_s:.1f}s compile={compile_s:.1f}s "
+          f"steady={dt:.2f}s/batch", file=sys.stderr)
+    print(json.dumps({
+        "metric": "secp256k1_ecdsa_proofs_per_sec_per_chip",
+        "value": round(value, 3), "unit": "proofs/s",
+        "vs_baseline": round(value / RUST_CPU_PROOFS_PER_SEC_EST, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

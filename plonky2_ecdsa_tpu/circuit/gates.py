@@ -823,3 +823,175 @@ def _mulnn_eval_stacked(self, alg, warr, consts, ctx):
 
 
 MulNonNativeGate.eval_stacked = _mulnn_eval_stacked
+
+
+def _const_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    k = self.num_consts
+    clo = xp.stack([consts[i][0] for i in range(k)], 0)
+    chi = xp.stack([consts[i][1] for i in range(k)], 0)
+    return _gl.sub(warr[0][:k], warr[1][:k], clo, chi)
+
+
+ConstantGate.eval_stacked = _const_eval_stacked
+
+
+def _pi_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    k = self.num_cols
+    pis = ctx["pi_vals"]
+    plo = xp.stack([pis[i][0] for i in range(k)], 0)
+    phi = xp.stack([pis[i][1] for i in range(k)], 0)
+    return _gl.sub(warr[0][:k], warr[1][:k], plo, phi)
+
+
+PublicInputGate.eval_stacked = _pi_eval_stacked
+
+
+def _carry_chain_tail(vals, xp):
+    """(prevpad, curpad) for a 'cur carries into next limb' chain:
+    prevpad = [0, v_0..v_{k-1}], curpad = [v_0..v_{k-1}, 0] along axis 0."""
+    lo, hi = vals
+    z1 = xp.zeros((1,) + lo.shape[1:], xp.uint32)
+    prevpad = (xp.concatenate([z1, lo], 0), xp.concatenate([z1, hi], 0))
+    curpad = (xp.concatenate([lo, z1], 0), xp.concatenate([hi, z1], 0))
+    return prevpad, curpad
+
+
+def _bool_cons(pair, xp):
+    return _gl.mul(*pair, *_gl.add(*pair, *_add_const_pair(pair, -1, xp)))
+
+
+def _tri_cons(pair, xp):
+    t = _bool_cons(pair, xp)
+    return _gl.mul(*t, *_gl.add(*pair, *_add_const_pair(pair, -2, xp)))
+
+
+def _nnadd_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    lo, hi = warr
+    N = self.N
+    a = (lo[:N], hi[:N])
+    b = (lo[N : 2 * N], hi[N : 2 * N])
+    s = (lo[2 * N : 3 * N], hi[2 * N : 3 * N])
+    ovf = (lo[3 * N], hi[3 * N])
+    c = (lo[3 * N + 1 :], hi[3 * N + 1 :])  # [N-1, ...]
+    m = _const_pair_vec(self.ff.limbs29, lo.ndim - 1, xp)
+    cur = _gl.add(*c, *_add_const_pair(c, -1, xp))  # carries in {-1,0,1}
+    prevpad, curpad = _carry_chain_tail(cur, xp)
+    acc = _gl.sub(*_gl.add(*a, *b), *s)
+    acc = _gl.sub(*acc, *_gl.mul(*(ovf[0][None], ovf[1][None]), *m))
+    acc = _gl.add(*acc, *prevpad)
+    acc = _gl.sub(*acc, *_gl.mul_small(*curpad, _np.uint32(1 << BITS)))
+    ob = _bool_cons((ovf[0][None], ovf[1][None]), xp)
+    cc = _tri_cons(c, xp)
+    return (xp.concatenate([acc[0], ob[0], cc[0]], 0),
+            xp.concatenate([acc[1], ob[1], cc[1]], 0))
+
+
+NonNativeAddGate.eval_stacked = _nnadd_eval_stacked
+
+
+def _nnsub_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    lo, hi = warr
+    N = self.N
+    a = (lo[:N], hi[:N])
+    b = (lo[N : 2 * N], hi[N : 2 * N])
+    d = (lo[2 * N : 3 * N], hi[2 * N : 3 * N])
+    ovf = (lo[3 * N], hi[3 * N])
+    c = (lo[3 * N + 1 :], hi[3 * N + 1 :])
+    m = _const_pair_vec(self.ff.limbs29, lo.ndim - 1, xp)
+    cur = _gl.add(*c, *_add_const_pair(c, -1, xp))
+    prevpad, curpad = _carry_chain_tail(cur, xp)
+    acc = _gl.sub(*a, *b)
+    acc = _gl.add(*acc, *_gl.mul(*(ovf[0][None], ovf[1][None]), *m))
+    acc = _gl.sub(*acc, *d)
+    acc = _gl.add(*acc, *prevpad)
+    acc = _gl.sub(*acc, *_gl.mul_small(*curpad, _np.uint32(1 << BITS)))
+    ob = _bool_cons((ovf[0][None], ovf[1][None]), xp)
+    cc = _tri_cons(c, xp)
+    return (xp.concatenate([acc[0], ob[0], cc[0]], 0),
+            xp.concatenate([acc[1], ob[1], cc[1]], 0))
+
+
+NonNativeSubGate.eval_stacked = _nnsub_eval_stacked
+
+
+def _nnaddmany_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    lo, hi = warr
+    N, k = self.N, self.k
+    asum = _sum_axis0(lo[: k * N].reshape((k, N) + lo.shape[1:]),
+                      hi[: k * N].reshape((k, N) + hi.shape[1:]))
+    s = (lo[k * N : (k + 1) * N], hi[k * N : (k + 1) * N])
+    ovf = (lo[(k + 1) * N], hi[(k + 1) * N])
+    c = (lo[(k + 1) * N + 1 :], hi[(k + 1) * N + 1 :])
+    m = _const_pair_vec(self.ff.limbs29, lo.ndim - 1, xp)
+    boff = _gl.add(*c, *_add_const_pair(c, -CARRY_OFFSET, xp))
+    prevpad, curpad = _carry_chain_tail(boff, xp)
+    acc = _gl.sub(*asum, *s)
+    acc = _gl.sub(*acc, *_gl.mul(*(ovf[0][None], ovf[1][None]), *m))
+    acc = _gl.add(*acc, *prevpad)
+    return _gl.sub(*acc, *_gl.mul_small(*curpad, _np.uint32(1 << BITS)))
+
+
+NonNativeAddManyGate.eval_stacked = _nnaddmany_eval_stacked
+
+
+def _bigcmp_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    lo, hi = warr
+    N = self.N
+    a = (lo[:N], hi[:N])
+    b = (lo[N : 2 * N], hi[N : 2 * N])
+    le = (lo[2 * N], hi[2 * N])
+    d = (lo[2 * N + 1 : 3 * N + 1], hi[2 * N + 1 : 3 * N + 1])
+    brw = (lo[3 * N + 1 :], hi[3 * N + 1 :])  # [N, ...]
+    z1 = xp.zeros((1,) + lo.shape[1:], xp.uint32)
+    prev = (xp.concatenate([z1, brw[0][:-1]], 0), xp.concatenate([z1, brw[1][:-1]], 0))
+    acc = _gl.sub(*b, *a)
+    acc = _gl.sub(*acc, *prev)
+    acc = _gl.add(*acc, *_gl.mul_small(*brw, _np.uint32(1 << BITS)))
+    acc = _gl.sub(*acc, *d)
+    bools = _bool_cons(brw, xp)
+    last = _gl.add(le[0], le[1], brw[0][N - 1], brw[1][N - 1])
+    one = _add_const_pair((last[0][None], last[1][None]), -1, xp)
+    fin = _gl.add(last[0][None], last[1][None], *one)
+    return (xp.concatenate([acc[0], bools[0], fin[0]], 0),
+            xp.concatenate([acc[1], bools[1], fin[1]], 0))
+
+
+BigCmpGate.eval_stacked = _bigcmp_eval_stacked
+
+
+def _randacc_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    lo, hi = warr
+    nc, nb, vs = self.num_copies, self.bits, self.vec_size
+    bit_idx = _np.array([[self.wire_bit(c, j) for j in range(nb)] for c in range(nc)])
+    idx_idx = _np.array([self.wire_idx(c) for c in range(nc)])
+    out_idx = _np.array([self.wire_out(c) for c in range(nc)])
+    item_idx = _np.array([[self.wire_item(c, i) for i in range(vs)] for c in range(nc)])
+    bits = (lo[bit_idx], hi[bit_idx])            # [nc, nb, ...]
+    idxw = (lo[idx_idx], hi[idx_idx])            # [nc, ...]
+    outw = (lo[out_idx], hi[out_idx])
+    items = (lo[item_idx], hi[item_idx])         # [nc, vs, ...]
+    bools = _bool_cons(bits, xp)
+    w2 = _const_pair_vec([1 << j for j in range(nb)], lo.ndim - 1, xp)
+    rec = _sum_axis0_pairwise(_gl.mul(*bits, *(w2[0][None], w2[1][None])))
+    recc = _gl.sub(*rec, *idxw)
+    for j in range(nb):
+        ev = (items[0][:, 0::2], items[1][:, 0::2])
+        od = (items[0][:, 1::2], items[1][:, 1::2])
+        bj = (bits[0][:, j][:, None], bits[1][:, j][:, None])
+        items = _gl.add(*ev, *_gl.mul(*bj, *_gl.sub(*od, *ev)))
+    interp = _gl.sub(items[0][:, 0], items[1][:, 0], *outw)
+    block_lo = xp.concatenate([bools[0], recc[0][:, None], interp[0][:, None]], 1)
+    block_hi = xp.concatenate([bools[1], recc[1][:, None], interp[1][:, None]], 1)
+    nw = block_lo.shape
+    return (block_lo.reshape((nw[0] * nw[1],) + nw[2:]),
+            block_hi.reshape((nw[0] * nw[1],) + nw[2:]))
+
+
+RandomAccessGate.eval_stacked = _randacc_eval_stacked

@@ -71,10 +71,8 @@ def gmul_const(a, c: int):
 
 
 def ginv(a):
-    """Elementwise modular inverse via Python pow (host path); inv(0)=0."""
-    flat = a.ravel()
-    out = np.array([pow(int(x), -1, P) if x else 0 for x in flat], dtype=np.uint64)
-    return out.reshape(a.shape)
+    """Elementwise modular inverse via vectorized Fermat a^(P-2); inv(0)=0."""
+    return gpow(a, P - 2)
 
 
 def gpow(a, e: int):

@@ -194,8 +194,32 @@ def square(alo, ahi):
 
 
 def pow_const(alo, ahi, e: int):
-    """a^e for a Python-int exponent (unrolled square-and-multiply)."""
+    """a^e for a Python-int exponent.
+
+    numpy: unrolled square-and-multiply.  JAX (long exponents): a single
+    lax.fori_loop over the exponent bits — an unrolled 64-bit Fermat ladder
+    traces ~6k primitives per call site and bloats jit compile time."""
     xp = _xp(alo, ahi)
+    nbits = e.bit_length()
+    if xp is not np and nbits > 8:
+        import jax
+        import jax.numpy as jnp
+
+        bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)], dtype=jnp.uint32)
+
+        def body(i, state):
+            rlo, rhi, blo, bhi = state
+            mlo, mhi = mul(rlo, rhi, blo, bhi)
+            take = bits[i] != 0
+            rlo = jnp.where(take, mlo, rlo)
+            rhi = jnp.where(take, mhi, rhi)
+            blo, bhi = square(blo, bhi)
+            return (rlo, rhi, blo, bhi)
+
+        rlo = xp.ones_like(alo)
+        rhi = xp.zeros_like(ahi)
+        rlo, rhi, _, _ = jax.lax.fori_loop(0, nbits, body, (rlo, rhi, alo, ahi))
+        return rlo, rhi
     rlo, rhi = xp.ones_like(alo), xp.zeros_like(ahi)
     base = (alo, ahi)
     while e:
@@ -210,6 +234,19 @@ def pow_const(alo, ahi, e: int):
 def inverse(alo, ahi):
     """a^(p-2); inverse of 0 is 0 (callers must guard)."""
     return pow_const(alo, ahi, P - 2)
+
+
+def powers(alo, ahi, n: int):
+    """[1, a, ..., a^(n-1)] along a NEW last axis (log-depth doubling)."""
+    xp = _xp(alo, ahi)
+    out = (xp.ones_like(alo)[..., None], xp.zeros_like(ahi)[..., None])
+    p = (alo[..., None], ahi[..., None])  # a^(current length)
+    while out[0].shape[-1] < n:
+        nxt = mul(out[0], out[1], *p)
+        out = (xp.concatenate([out[0], nxt[0]], -1),
+               xp.concatenate([out[1], nxt[1]], -1))
+        p = square(*p)
+    return out[0][..., :n], out[1][..., :n]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""Device-mesh sharding of the batched prover.
+
+TPU-native replacement for the reference's only parallelism mechanism (rayon
+shared-memory loops, src/curve/curve_msm.rs:133, Cargo.toml:8-9 — see
+SURVEY.md §2 parallelism inventory): the axes that exist in this workload are
+
+  * ``dp``  — the signature batch: every proof lane is independent, so the
+    leading batch axis shards with zero communication (the production scaling
+    axis, replacing ``par_chunks``);
+  * ``col`` — the polynomial/column axis inside ONE proof: wire columns,
+    LDE/NTT evaluation work and per-column Merkle leaf hashing shard over
+    ``col``; XLA/GSPMD inserts the all-gathers where a step consumes every
+    column (transcript observation, leaf concatenation) and keeps them on ICI.
+
+Both axes are expressed as a 2-D `jax.sharding.Mesh` + `NamedSharding`
+annotations on the jitted prover — the idiomatic pjit/GSPMD formulation (no
+hand-written collectives; the sharded-NTT Pallas ring path can swap in
+underneath without changing this API).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..prover.data import CircuitData
+from ..prover.prover import Backend, Proof, host_prep, prove_core, _register_pytrees
+
+
+def prover_mesh(n_devices: int | None = None, col_parallel: int = 2):
+    """2-D (dp, col) mesh over the first `n_devices` devices.
+
+    col_parallel divides the device count when possible; otherwise the mesh
+    degenerates to pure batch parallelism (col=1)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    n = len(devs)
+    col = col_parallel if (col_parallel > 0 and n % col_parallel == 0) else 1
+    dp = n // col
+    return Mesh(np.array(devs).reshape(dp, col), ("dp", "col"))
+
+
+def make_mesh_prover(data: CircuitData, mesh):
+    """Jitted prover with witness batch sharded over 'dp' and the wire-column
+    axis over 'col'.  Returns run(W, pis) -> Proof (host numpy out).
+
+    The batch size must be a multiple of the 'dp' axis size."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    _register_pytrees()
+    bk = Backend(data, jnp)
+
+    w_sh = NamedSharding(mesh, Pspec("dp", "col", None))   # [B, wires, n]
+    pi_sh = NamedSharding(mesh, Pspec("dp", None, None))   # [B, K, n]
+    pis_sh = NamedSharding(mesh, Pspec("dp", None))        # [B, npis]
+
+    core = jax.jit(
+        lambda w, p, pv: prove_core(data, bk, w, p, pv, jnp),
+        in_shardings=((w_sh, w_sh), (pi_sh, pi_sh), (pis_sh, pis_sh)),
+    )
+
+    def run(W: np.ndarray, pis: np.ndarray) -> Proof:
+        dp = mesh.shape["dp"]
+        B = W.shape[-1]
+        assert B % dp == 0, f"batch {B} must divide over dp={dp}"
+        wires_pair, pi_pair, pis_pair = host_prep(data, W, pis)
+        proof = core(wires_pair, pi_pair, pis_pair)
+        proof = jax.tree_util.tree_map(np.asarray, proof)
+        proof.pis = np.asarray(pis)
+        return proof
+
+    run.core = core
+    run.mesh = mesh
+    return run

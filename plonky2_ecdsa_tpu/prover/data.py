@@ -79,10 +79,11 @@ def build_circuit_data(circuit: Circuit) -> CircuitData:
     zh_inv = gl.from_u64(zh_inv_u64)
 
     # L_0(x) = (x^n - 1) / (n * (x - 1))
+    from ..circuit.witness import ginv, gmul_const, gsub
+
     zh_u64 = np.tile(np.array(zh_small, dtype=np.uint64), n)
-    x_min_1 = (x_lde.astype(object) - 1) % P
-    denom = [(int(v) * n) % P for v in x_min_1]
-    denom_inv = np.array([pow(int(v), -1, P) for v in denom], dtype=np.uint64)
+    x_min_1 = gsub(x_lde, np.uint64(1))
+    denom_inv = ginv(gmul_const(x_min_1, n % P))
     l0 = gl.mul(*gl.from_u64(zh_u64), *gl.from_u64(denom_inv))
 
     max_gate_cons = max((gate.num_constraints for gate in circuit.gates), default=0)

@@ -53,6 +53,34 @@ def _bitrev(n: int):
 
 
 @lru_cache(maxsize=None)
+def _stage_tables(n: int, inverse: bool):
+    """Uniform table-driven butterfly: for every stage s and lane i,
+    out[i] = x[A[s,i]] + W[s,i] * x[B[s,i]].
+
+    This makes each stage identical in shape, so the whole transform runs as
+    ONE lax.fori_loop body under jit (the unrolled concat formulation traces
+    ~log2(n) * O(gl ops) primitives and dominated compile time)."""
+    stages = _twiddles(n, inverse)
+    S = len(stages)
+    idx = np.arange(n, dtype=np.int64)
+    A = np.zeros((S, n), np.int32)
+    B = np.zeros((S, n), np.int32)
+    W = np.zeros((S, n), np.uint64)
+    m = 2
+    for s, row in enumerate(stages):
+        half = m // 2
+        pos = idx & (m - 1)
+        lo_half = pos < half
+        partner = idx ^ half
+        A[s] = np.where(lo_half, idx, partner)
+        B[s] = np.where(lo_half, partner, idx)
+        w = row[pos % half]  # w_m^(pos mod half)
+        W[s] = np.where(lo_half, w, (P - w) % P)
+        m *= 2
+    return A, B, W
+
+
+@lru_cache(maxsize=None)
 def _coset_powers(n: int, inverse: bool):
     s = pow(COSET_SHIFT, P - 2, P) if inverse else COSET_SHIFT
     out = np.zeros(n, dtype=np.uint64)
@@ -68,28 +96,31 @@ def ntt(lo, hi, inverse: bool = False):
     xp = gl._xp(lo, hi)
     n = lo.shape[-1]
     assert n & (n - 1) == 0
+    if n == 1:
+        return lo, hi
     rev = _bitrev(n)
     lo, hi = lo[..., rev], hi[..., rev]
-    lead = lo.shape[:-1]
-    m = 2
-    for stage in _twiddles(n, inverse):
-        half = m // 2
-        wlo, whi = gl.from_u64(stage)
-        if xp is not np:
-            import jax.numpy as jnp
+    A, B, W = _stage_tables(n, inverse)
+    Wlo, Whi = gl.from_u64(W)
+    if xp is np:
+        for s in range(A.shape[0]):
+            blo, bhi = gl.mul(lo[..., B[s]], hi[..., B[s]], Wlo[s], Whi[s])
+            lo, hi = gl.add(lo[..., A[s]], hi[..., A[s]], blo, bhi)
+    else:
+        import jax
+        import jax.numpy as jnp
 
-            wlo, whi = jnp.asarray(wlo), jnp.asarray(whi)
-        shape = lead + (n // m, m)
-        lo = lo.reshape(shape)
-        hi = hi.reshape(shape)
-        alo, ahi = lo[..., :half], hi[..., :half]
-        blo, bhi = lo[..., half:], hi[..., half:]
-        tlo, thi = gl.mul(blo, bhi, wlo, whi)
-        ulo, uhi = gl.add(alo, ahi, tlo, thi)
-        vlo, vhi = gl.sub(alo, ahi, tlo, thi)
-        lo = xp.concatenate([ulo, vlo], axis=-1).reshape(lead + (n,))
-        hi = xp.concatenate([uhi, vhi], axis=-1).reshape(lead + (n,))
-        m *= 2
+        Aj, Bj = jnp.asarray(A), jnp.asarray(B)
+        Wloj, Whij = jnp.asarray(Wlo), jnp.asarray(Whi)
+
+        def body(s, state):
+            lo, hi = state
+            a = (jnp.take(lo, Aj[s], axis=-1), jnp.take(hi, Aj[s], axis=-1))
+            b = (jnp.take(lo, Bj[s], axis=-1), jnp.take(hi, Bj[s], axis=-1))
+            t = gl.mul(b[0], b[1], Wloj[s], Whij[s])
+            return gl.add(a[0], a[1], t[0], t[1])
+
+        lo, hi = jax.lax.fori_loop(0, A.shape[0], body, (lo, hi))
     if inverse:
         ninv = pow(n, P - 2, P)
         nlo, nhi = gl.from_int(ninv, (), xp)

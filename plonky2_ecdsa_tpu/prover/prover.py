@@ -147,14 +147,14 @@ def _lde_commit(vals_pair, n, N, cap_height, xp):
     return (clo, chi), lde, tree
 
 
-def prove(data: CircuitData, W: np.ndarray, pis: np.ndarray, xp=np,
-          backend: Backend | None = None) -> Proof:
-    """W: witness matrix [num_wires, n, B] uint64 (host); pis: [B, npis] u64."""
+def host_prep(data: CircuitData, W: np.ndarray, pis: np.ndarray):
+    """Host-side prep: u64 witness/PI tensors -> u32-pair device inputs.
+
+    W: [num_wires, n, B] uint64; pis: [B, npis] uint64.
+    Returns (wires_pair [B,wires,n], pi_pair [B,K,n], pis_pair [B,npis])."""
     circuit = data.circuit
-    cfg = circuit.config
-    n, N = data.n, data.N
+    n = data.n
     B = W.shape[-1]
-    # host prep: u64 -> u32 pairs (device has no u64 lanes)
     wires_u64 = np.ascontiguousarray(np.moveaxis(W, -1, 0))  # [B, wires, n]
     wires_pair = gl.from_u64(wires_u64)
     K = circuit.pi.num_cols
@@ -166,6 +166,13 @@ def prove(data: CircuitData, W: np.ndarray, pis: np.ndarray, xp=np,
                 pi_vals[:, j, row] = pis[:, idx]
     pi_pair = gl.from_u64(pi_vals)
     pis_pair = gl.from_u64(pis)
+    return wires_pair, pi_pair, pis_pair
+
+
+def prove(data: CircuitData, W: np.ndarray, pis: np.ndarray, xp=np,
+          backend: Backend | None = None) -> Proof:
+    """W: witness matrix [num_wires, n, B] uint64 (host); pis: [B, npis] u64."""
+    wires_pair, pi_pair, pis_pair = host_prep(data, W, pis)
     if xp is not np:
         wires_pair = (xp.asarray(wires_pair[0]), xp.asarray(wires_pair[1]))
         pi_pair = (xp.asarray(pi_pair[0]), xp.asarray(pi_pair[1]))
@@ -178,9 +185,10 @@ def prove(data: CircuitData, W: np.ndarray, pis: np.ndarray, xp=np,
 
 
 def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
-               xp) -> Proof:
+               xp, stop_after: str | None = None) -> Proof:
     """Pure tensor pipeline: (wires, pi polys, pi values) pairs -> Proof.
-    Jit-able for a fixed circuit shape."""
+    Jit-able for a fixed circuit shape.  stop_after: compile-time debug knob
+    ('commit'|'zs'|'quotient'|'openings'|'fri') to truncate the pipeline."""
     circuit = data.circuit
     cfg = circuit.config
     n, N = data.n, data.N
@@ -192,6 +200,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     caph = cfg.fri.cap_height
 
     wires_coeffs, wires_lde, wires_tree = _lde_commit(wires_pair, n, N, caph, xp)
+    if stop_after == 'commit':
+        return wires_tree.cap
 
     pad = xp.zeros((B,) + pi_pair[0].shape[1:-1] + (N - n,), xp.uint32)
     pi_clo, pi_chi = ntt.intt(*pi_pair)
@@ -239,6 +249,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
             zs_list_hi.append(phi)
     zs_vals = (xp.stack(zs_list_lo, 1), xp.stack(zs_list_hi, 1))
     zs_coeffs, zs_lde, zs_tree = _lde_commit(zs_vals, n, N, caph, xp)
+    if stop_after == 'zs':
+        return zs_tree.cap
     ch.observe_cap(zs_tree.cap)
     alphas = [ch.get_challenge() for _ in range(C)]
 
@@ -255,6 +267,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     quot_tree = merkle.build_merkle_tree(xp.moveaxis(quot_lde[0], -2, -1),
                                          xp.moveaxis(quot_lde[1], -2, -1), caph)
     ch.observe_cap(quot_tree.cap)
+    if stop_after == 'quotient':
+        return quot_tree.cap
     zeta = ch.get_ext()
 
     # ---- openings ----------------------------------------------------------
@@ -277,6 +291,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     open_zs_gzeta = ntt.eval_poly_ext(*zonly, gzp)
 
     openings0 = _ext_concat([open_fixed, open_wires, open_zs, open_quot], xp)
+    if stop_after == 'openings':
+        return openings0
     for i in range(layout.total):
         ch.observe_ext(_ext_index(openings0, (slice(None), i)))
     for i in range(C):
@@ -286,6 +302,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     F = _reduced_poly(data, bk, layout, wires_lde, zs_lde, quot_lde, openings0,
                       open_zs_gzeta, zeta, gz, ch.get_ext(), z_idx, B, xp)
     fri_proof = fri.fri_prove(ch, F, N, cfg, xp)
+    if stop_after == 'fri':
+        return fri_proof.caps
 
     # ---- initial tree openings ---------------------------------------------
     idx = fri_proof.indices  # [B, Q] int32/int64 array (device ok)
@@ -341,6 +359,9 @@ def _register_pytrees():
     global _PYTREES_DONE
     if _PYTREES_DONE:
         return
+    from ..jaxcfg import setup_cache
+
+    setup_cache()
     import jax
 
     jax.tree_util.register_pytree_node(
@@ -375,19 +396,7 @@ def make_jit_prover(data: CircuitData):
         return prove_core(data, bk, wires_pair, pi_pair, pis_pair, jnp)
 
     def run(W: np.ndarray, pis: np.ndarray) -> Proof:
-        B = W.shape[-1]
-        wires_u64 = np.ascontiguousarray(np.moveaxis(W, -1, 0))
-        wires_pair = gl.from_u64(wires_u64)
-        K = circuit.pi.num_cols
-        n = data.n
-        pi_vals = np.zeros((B, K, n), np.uint64)
-        for blk, row in enumerate(circuit.pi.rows):
-            for j in range(K):
-                idx = blk * K + j
-                if idx < circuit.pi.count:
-                    pi_vals[:, j, row] = pis[:, idx]
-        pi_pair = gl.from_u64(pi_vals)
-        pis_pair = gl.from_u64(pis)
+        wires_pair, pi_pair, pis_pair = host_prep(data, W, pis)
         proof = core(wires_pair, pi_pair, pis_pair)
         proof = jax.tree_util.tree_map(np.asarray, proof)
         proof.pis = np.asarray(pis)
@@ -404,15 +413,28 @@ def _ext_expand_mid(zpows):
             (zpows[1][0][:, None], zpows[1][1][:, None]))
 
 
+def _prod_last(lo, hi):
+    """Modular product over the last axis (power-of-two length, log depth)."""
+    while lo.shape[-1] > 1:
+        k = lo.shape[-1] // 2
+        lo, hi = gl.mul(lo[..., :k], hi[..., :k], lo[..., k:], hi[..., k:])
+    return lo[..., 0], hi[..., 0]
+
+
+def _sum_pairs_axis(lo, hi, axis, xp):
+    """Modular sum of a (lo, hi) pair over `axis` (log-depth tree)."""
+    from .ntt import _sum_last
+
+    return _sum_last((xp.moveaxis(lo, axis, -1), xp.moveaxis(hi, axis, -1)), xp)
+
+
 def _chunk_prod(pair, chunk):
-    lo, hi = pair
-    B, nr, n = lo.shape
-    lo = lo.reshape(B, nr // chunk, chunk, n)
-    hi = hi.reshape(B, nr // chunk, chunk, n)
-    plo, phi = lo[:, :, 0], hi[:, :, 0]
-    for j in range(1, chunk):
-        plo, phi = gl.mul(plo, phi, lo[:, :, j], hi[:, :, j])
-    return plo, phi
+    """[B, nr, n] -> per-chunk products [B, nr/chunk, n], log-depth."""
+    B, nr, n = pair[0].shape
+    lo = pair[0].reshape(B, nr // chunk, chunk, n)
+    hi = pair[1].reshape(B, nr // chunk, chunk, n)
+    xp = gl._xp(lo, hi)
+    return _prod_last(xp.moveaxis(lo, 2, -1), xp.moveaxis(hi, 2, -1))
 
 
 def _ext_concat(exts, xp):
@@ -442,60 +464,61 @@ def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
     S = len(circuit.gates)
     shape = (B, N)
 
-    # alpha powers [slots] of [B]
-    apows = []
-    for c in range(C):
-        pws = [(xp.ones_like(alphas[c][0]), xp.zeros_like(alphas[c][1]))]
-        for _ in range(data.num_constraint_slots - 1):
-            pws.append(gl.mul(*pws[-1], *alphas[c]))
-        apows.append(pws)
+    # alpha powers [B, slots] per challenge (log-depth doubling)
+    apow_arr = [gl.powers(alphas[c][0], alphas[c][1], data.num_constraint_slots)
+                for c in range(C)]
+    apows = [[(apow_arr[c][0][:, s], apow_arr[c][1][:, s])
+              for s in range(data.num_constraint_slots)] for c in range(C)]
     comb = [(xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32)) for _ in range(C)]
-
-    def accum(slot, term):
-        for c in range(C):
-            ap = _bc((apows[c][slot][0][:, None], apows[c][slot][1][:, None]), shape, xp)
-            comb[c] = gl.add(*comb[c], *gl.mul(*term, *ap))
 
     sel_off = cfg.num_constant_cols
     sig_lde = (bk.fixed_lde[0][sel_off + S : sel_off + S + nr],
                bk.fixed_lde[1][sel_off + S : sel_off + S + nr])
     roll = N // n
-    # id encodings over the LDE domain: k_j * x
-    ids_lde = []
+    # id encodings over the LDE domain: k_j * x, stacked [nr, N]
+    ids_lo, ids_hi = [], []
     for j, kj in enumerate(circuit.k_coeffs):
         if kj < (1 << 32):
-            ids_lde.append(gl.mul_small(*bk.x_pair, np.uint32(kj)))
+            il, ih = gl.mul_small(*bk.x_pair, np.uint32(kj))
         else:
             kp = gl.from_int(kj, (), xp)
-            ids_lde.append(gl.mul(*bk.x_pair, *kp))
+            il, ih = gl.mul(*bk.x_pair, *kp)
+        ids_lo.append(il)
+        ids_hi.append(ih)
+    ids_st = (xp.stack(ids_lo, 0), xp.stack(ids_hi, 0))  # [nr, N]
+    w_all = (wires_lde[0][:, :nr], wires_lde[1][:, :nr])  # [B, nr, N]
     for c in range(C):
-        beta = (betas[c][0][:, None], betas[c][1][:, None])
-        gamma = (gammas[c][0][:, None], gammas[c][1][:, None])
+        # wire-axis-vectorized f_j / g_j then log-depth per-chunk products
+        beta2 = (betas[c][0][:, None, None], betas[c][1][:, None, None])
+        gamma2 = (gammas[c][0][:, None, None], gammas[c][1][:, None, None])
+        bid = gl.mul(ids_st[0][None], ids_st[1][None], *beta2)
+        bsg = gl.mul(sig_lde[0][None], sig_lde[1][None], *beta2)
+        f_all = gl.add(*gl.add(*w_all, *bid), gamma2[0], gamma2[1])
+        g_all = gl.add(*gl.add(*w_all, *bsg), gamma2[0], gamma2[1])
+        flo = xp.moveaxis(f_all[0].reshape(B, nchunks, chunk, N), 2, -1)
+        fhi = xp.moveaxis(f_all[1].reshape(B, nchunks, chunk, N), 2, -1)
+        glo = xp.moveaxis(g_all[0].reshape(B, nchunks, chunk, N), 2, -1)
+        ghi = xp.moveaxis(g_all[1].reshape(B, nchunks, chunk, N), 2, -1)
+        fp = _prod_last(flo, fhi)  # [B, nchunks, N]
+        gp = _prod_last(glo, ghi)
         z = (zs_lde[0][:, c * nchunks], zs_lde[1][:, c * nchunks])
         z_shift = (xp.roll(z[0], -roll, -1), xp.roll(z[1], -roll, -1))
-        partials = [(zs_lde[0][:, c * nchunks + 1 + t], zs_lde[1][:, c * nchunks + 1 + t])
-                    for t in range(nchunks - 1)]
+        # prev[t] = (Z, p_0, ..., p_{k-2}); left[t] = (p_0, ..., p_{k-2}, Z<<)
+        prev = (zs_lde[0][:, c * nchunks : c * nchunks + nchunks],
+                zs_lde[1][:, c * nchunks : c * nchunks + nchunks])
+        left = (xp.concatenate([prev[0][:, 1:], z_shift[0][:, None]], 1),
+                xp.concatenate([prev[1][:, 1:], z_shift[1][:, None]], 1))
+        termt = gl.sub(*gl.mul(*left, *gp), *gl.mul(*prev, *fp))  # [B, nchunks, N]
+        # weight by alpha slots 1..nchunks and fold into comb
+        a_lo = xp.stack([apows[c][1 + t][0] for t in range(nchunks)], 1)  # [B, nchunks]
+        a_hi = xp.stack([apows[c][1 + t][1] for t in range(nchunks)], 1)
+        wt = gl.mul(*termt, a_lo[:, :, None], a_hi[:, :, None])
+        comb[c] = gl.add(*comb[c], *_sum_pairs_axis(*wt, 1, xp))
         # slot 0: L0 * (Z - 1)
         one = (xp.ones(shape, xp.uint32), xp.zeros(shape, xp.uint32))
         term = gl.mul(*_bc(bk.l0_lde, shape, xp), *gl.sub(*z, *one))
         ap = _bc((apows[c][0][0][:, None], apows[c][0][1][:, None]), shape, xp)
         comb[c] = gl.add(*comb[c], *gl.mul(*term, *ap))
-        for t in range(nchunks):
-            fp, gp = None, None
-            for j in range(t * chunk, (t + 1) * chunk):
-                w = (wires_lde[0][:, j], wires_lde[1][:, j])
-                bid = gl.mul(*_bc(ids_lde[j], shape, xp), *_bc(beta, shape, xp))
-                bsg = gl.mul(*_bc((sig_lde[0][j], sig_lde[1][j]), shape, xp),
-                             *_bc(beta, shape, xp))
-                fj = gl.add(*gl.add(*w, *bid), *_bc(gamma, shape, xp))
-                gj = gl.add(*gl.add(*w, *bsg), *_bc(gamma, shape, xp))
-                fp = fj if fp is None else gl.mul(*fp, *fj)
-                gp = gj if gp is None else gl.mul(*gp, *gj)
-            left = partials[t] if t < nchunks - 1 else z_shift
-            prev = z if t == 0 else partials[t - 1]
-            termt = gl.sub(*gl.mul(*left, *gp), *gl.mul(*prev, *fp))
-            ap = _bc((apows[c][1 + t][0][:, None], apows[c][1 + t][1][:, None]), shape, xp)
-            comb[c] = gl.add(*comb[c], *gl.mul(*termt, *ap))
 
     # gate constraints (vectorized stacked evaluation, see gates.eval_stacked)
     from ..circuit.gates import _sum_axis0
@@ -534,42 +557,59 @@ def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
 
 def _reduced_poly(data, bk, layout, wires_lde, zs_lde, quot_lde, openings0,
                   open_zs_gzeta, zeta, gzeta, alpha, z_idx, B, xp):
-    """F(x) = sum_i a^i (p_i(x)-y_i)/(x-zeta) + a^n0 sum_j a^j (z_j(x)-y'_j)/(x-g zeta)."""
+    """F(x) = sum_i a^i (p_i(x)-y_i)/(x-zeta) + a^n0 sum_j a^j (z_j(x)-y'_j)/(x-g zeta).
+
+    Fully vectorized over the poly axis: all T = layout.total committed polys
+    are stacked as one [B, T, N] base-field tensor and combined with the
+    alpha-power vector in a handful of big tensor ops (a per-poly Python loop
+    here traces ~200x more XLA primitives and dominates jit compile time)."""
     N = data.N
     shape = (B, N)
+    T = layout.total
     x_ext = _ext_from_base(_bc(bk.x_pair, shape, xp), xp)
     inv0 = gl.ext_inverse(gl.ext_sub(x_ext, _ext_bc(zeta, shape, xp)))
     inv1 = gl.ext_inverse(gl.ext_sub(x_ext, _ext_bc(gzeta, shape, xp)))
-    a_b = _ext_bc(alpha, shape, xp)
 
-    zero = xp.zeros(shape, xp.uint32)
-    acc = ((zero, zero), (zero, zero))
-    apow = ((xp.ones(shape, xp.uint32), zero), (zero, zero))
+    # all committed polys stacked [B, T, N] (base field; order = layout order)
+    plo = xp.concatenate([
+        xp.broadcast_to(bk.fixed_lde[0][None], (B,) + bk.fixed_lde[0].shape),
+        wires_lde[0], zs_lde[0], quot_lde[0]], 1)
+    phi = xp.concatenate([
+        xp.broadcast_to(bk.fixed_lde[1][None], (B,) + bk.fixed_lde[1].shape),
+        wires_lde[1], zs_lde[1], quot_lde[1]], 1)
 
-    def poly_iter():
-        for j in range(layout.num_fixed):
-            yield _bc((bk.fixed_lde[0][j], bk.fixed_lde[1][j]), shape, xp)
-        for j in range(layout.num_wires):
-            yield (wires_lde[0][:, j], wires_lde[1][:, j])
-        for j in range(layout.num_zs_partials):
-            yield (zs_lde[0][:, j], zs_lde[1][:, j])
-        for j in range(layout.num_quotient):
-            yield (quot_lde[0][:, j], quot_lde[1][:, j])
-
-    for i, p in enumerate(poly_iter()):
-        y = _ext_index(openings0, (slice(None), i))
-        diff = gl.ext_sub(_ext_from_base(p, xp), _ext_bc(y, shape, xp))
-        acc = gl.ext_add(acc, gl.ext_mul(apow, diff))
-        apow = gl.ext_mul(apow, a_b)
+    apows = ntt.ext_powers(alpha, T)  # ext pair [B, T]
+    # numerator sum_i apow_i * p_i: ext-scalar x base = two base muls
+    n0 = gl.mul(plo, phi, apows[0][0][:, :, None], apows[0][1][:, :, None])
+    n1 = gl.mul(plo, phi, apows[1][0][:, :, None], apows[1][1][:, :, None])
+    s0 = _sum_pairs_axis(*n0, 1, xp)  # [B, N]
+    s1 = _sum_pairs_axis(*n1, 1, xp)
+    # y-part: sum_i apow_i * y_i (ext*ext over [B, T])
+    ye = gl.ext_mul(apows, openings0)
+    y0 = _sum_pairs_axis(*ye[0], 1, xp)  # [B]
+    y1 = _sum_pairs_axis(*ye[1], 1, xp)
+    acc = (gl.sub(*s0, y0[0][:, None], y0[1][:, None]),
+           gl.sub(*s1, y1[0][:, None], y1[1][:, None]))
     F = gl.ext_mul(acc, inv0)
 
-    acc1 = ((zero, zero), (zero, zero))
-    apow1 = ((xp.ones(shape, xp.uint32), zero), (zero, zero))
-    for k, j in enumerate(z_idx):
-        pz = (zs_lde[0][:, j], zs_lde[1][:, j])
-        y = _ext_index(open_zs_gzeta, (slice(None), k))
-        diff = gl.ext_sub(_ext_from_base(pz, xp), _ext_bc(y, shape, xp))
-        acc1 = gl.ext_add(acc1, gl.ext_mul(apow1, diff))
-        apow1 = gl.ext_mul(apow1, a_b)
-    F = gl.ext_add(F, gl.ext_mul(apow, gl.ext_mul(acc1, inv1)))
+    # Z polys at g*zeta (C of them)
+    Cz = len(z_idx)
+    zplo = xp.stack([zs_lde[0][:, j] for j in z_idx], 1)  # [B, C, N]
+    zphi = xp.stack([zs_lde[1][:, j] for j in z_idx], 1)
+    apows1 = ntt.ext_powers(alpha, Cz)
+    m0 = gl.mul(zplo, zphi, apows1[0][0][:, :, None], apows1[0][1][:, :, None])
+    m1 = gl.mul(zplo, zphi, apows1[1][0][:, :, None], apows1[1][1][:, :, None])
+    t0 = _sum_pairs_axis(*m0, 1, xp)
+    t1 = _sum_pairs_axis(*m1, 1, xp)
+    ye1 = gl.ext_mul(apows1, open_zs_gzeta)
+    w0 = _sum_pairs_axis(*ye1[0], 1, xp)
+    w1 = _sum_pairs_axis(*ye1[1], 1, xp)
+    acc1 = (gl.sub(*t0, w0[0][:, None], w0[1][:, None]),
+            gl.sub(*t1, w1[0][:, None], w1[1][:, None]))
+    # alpha^T = apows[T-1] * alpha
+    alast = ((apows[0][0][:, T - 1], apows[0][1][:, T - 1]),
+             (apows[1][0][:, T - 1], apows[1][1][:, T - 1]))
+    apow_T = gl.ext_mul(alast, alpha)
+    F = gl.ext_add(F, gl.ext_mul(_ext_bc(apow_T, shape, xp),
+                                 gl.ext_mul(acc1, inv1)))
     return F

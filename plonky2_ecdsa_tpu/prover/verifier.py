@@ -88,7 +88,18 @@ def _from_alg(x):
     return (int(gl.to_u64(*x[0])), int(gl.to_u64(*x[1])))
 
 
-def verify(data: CircuitData, proof: Proof):
+def verify(data: CircuitData, proof: Proof) -> bool:
+    """True iff every batch lane's proof verifies (plonky2 data.verify
+    equivalent; Result-style bool instead of raising)."""
+    try:
+        verify_strict(data, proof)
+    except (AssertionError, IndexError, ValueError):
+        return False
+    return True
+
+
+def verify_strict(data: CircuitData, proof: Proof):
+    """Raises AssertionError with a diagnostic on the first failing check."""
     B = proof.pis.shape[0]
     for b in range(B):
         _verify_one(data, proof, b)

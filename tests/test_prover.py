@@ -12,7 +12,7 @@ from plonky2_ecdsa_tpu.hash import merkle, poseidon
 from plonky2_ecdsa_tpu.prover import ntt
 from plonky2_ecdsa_tpu.prover.data import build_circuit_data
 from plonky2_ecdsa_tpu.prover.prover import prove
-from plonky2_ecdsa_tpu.prover.verifier import verify
+from plonky2_ecdsa_tpu.prover.verifier import verify, verify_strict
 
 P = gl.P
 
@@ -142,8 +142,9 @@ def test_verify_rejects_tampered_opening():
     data, proof, c = _prove_small(2)
     proof = copy.deepcopy(proof)
     proof.openings0[0][0][0, 5] ^= np.uint32(1)
+    assert not verify(data, proof)
     with pytest.raises(AssertionError):
-        verify(data, proof)
+        verify_strict(data, proof)
 
 
 def test_verify_rejects_tampered_pi():
@@ -152,8 +153,9 @@ def test_verify_rejects_tampered_pi():
     data, proof, c = _prove_small(2)
     proof = copy.deepcopy(proof)
     proof.pis[0, 0] ^= np.uint64(1)
+    assert not verify(data, proof)
     with pytest.raises(AssertionError):
-        verify(data, proof)
+        verify_strict(data, proof)
 
 
 def test_verify_rejects_tampered_fri_data():
@@ -165,8 +167,9 @@ def test_verify_rejects_tampered_fri_data():
         proof.fri_proof.layer_leaves[0][0][0, 0, 0] ^= np.uint32(1)
     else:  # tiny circuits fold zero layers; tamper the final polynomial
         proof.fri_proof.final_coeffs[0][0][0, 0] ^= np.uint32(1)
+    assert not verify(data, proof)
     with pytest.raises(AssertionError):
-        verify(data, proof)
+        verify_strict(data, proof)
 
 
 def test_verify_rejects_tampered_initial_leaf():
@@ -175,5 +178,6 @@ def test_verify_rejects_tampered_initial_leaf():
     data, proof, c = _prove_small(2)
     proof = copy.deepcopy(proof)
     proof.initial_leaves["wires"][0][0, 0, 3] ^= np.uint32(1)
+    assert not verify(data, proof)
     with pytest.raises(AssertionError):
-        verify(data, proof)
+        verify_strict(data, proof)
