@@ -112,10 +112,25 @@ def _add_rc(lo, hi, r, xp):
     return gl.add(lo, hi, rl, rh)
 
 
+def _use_pallas() -> bool:
+    """Mosaic kernel on real TPU backends; jnp path on CPU (tests/verifier)."""
+    import os
+
+    if os.environ.get("PLONKY2_TPU_NO_PALLAS") == "1":
+        return False
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
 def permute_stacked(lo, hi):
     """(lo, hi) with leading axis WIDTH -> permuted pair."""
     xp = _xp_of(lo)
     if xp is not np:
+        if _use_pallas():
+            from .poseidon_pallas import permute_stacked_pallas
+
+            return permute_stacked_pallas(lo, hi)
         return _permute_stacked_jax(lo, hi)
     r = 0
     for _ in range(HALF_FULL_ROUNDS):

@@ -181,3 +181,27 @@ def test_verify_rejects_tampered_initial_leaf():
     assert not verify(data, proof)
     with pytest.raises(AssertionError):
         verify_strict(data, proof)
+
+
+def test_poseidon_pallas_interpret(rng):
+    """Mosaic kernel math == jnp/numpy permutation (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.hash.poseidon_pallas import permute_stacked_pallas
+
+    v = rng.integers(0, P, size=(12, 5), dtype=np.uint64)
+    lo, hi = gl.from_u64(v)
+    ref = poseidon.permute_stacked(lo, hi)
+    out = permute_stacked_pallas(jnp.asarray(lo), jnp.asarray(hi), interpret=True)
+    assert np.array_equal(np.asarray(out[0]), ref[0])
+    assert np.array_equal(np.asarray(out[1]), ref[1])
+
+
+def test_batched_verifier_matches_exact():
+    """The vectorized verifier and the python-int reference path agree."""
+    from plonky2_ecdsa_tpu.prover.verifier import verify_one_exact
+
+    data, proof, c = _prove_small(2)
+    verify_strict(data, proof)
+    for b in range(proof.pis.shape[0]):
+        verify_one_exact(data, proof, b)
