@@ -88,21 +88,42 @@ def _sbox(x):
 
 
 def _mds_stacked(lo, hi, xp):
-    """out_i = sum_d circ[d] * s_{(i+d) mod 12} (+ diag on lane 0)."""
-    olo = ohi = None
+    """out_i = sum_d circ[d] * s_{(i+d) mod 12} (+ diag on lane 0).
+
+    Lazy accumulation: the circulant constants are <= 41 (6 bits) and sum to
+    256 (+8 diag), so splitting each element into four 16-bit parts lets all
+    12 products accumulate in plain u32 lanes (bound 264 * 2^16 < 2^25) with
+    ONE modular recombination per output — ~2.5x fewer VPU ops than 12
+    mul_small + 11 modular adds."""
+    m16 = np.uint32(0xFFFF)
+    parts = (lo & m16, lo >> np.uint32(16), hi & m16, hi >> np.uint32(16))
+    q = [None] * 4
     for d, c in enumerate(MDS_CIRC):
-        rl = xp.roll(lo, -d, axis=0)
-        rh = xp.roll(hi, -d, axis=0)
-        tl, th = gl.mul_small(rl, rh, np.uint32(c))
-        if olo is None:
-            olo, ohi = tl, th
-        else:
-            olo, ohi = gl.add(olo, ohi, tl, th)
-    d0 = gl.mul_small(lo[0], hi[0], np.uint32(MDS_DIAG0))
-    t0 = gl.add(olo[0], ohi[0], *d0)
-    olo = xp.concatenate([t0[0][None], olo[1:]], axis=0)
-    ohi = xp.concatenate([t0[1][None], ohi[1:]], axis=0)
-    return olo, ohi
+        c = np.uint32(c)
+        for k in range(4):
+            t = (parts[k] if d == 0 else xp.roll(parts[k], -d, axis=0)) * c
+            q[k] = t if q[k] is None else q[k] + t
+    d0c = np.uint32(MDS_DIAG0)
+    q = [xp.concatenate([(qk[0] + parts[k][0] * d0c)[None], qk[1:]], axis=0)
+         for k, qk in enumerate(q)]
+    return _mds_recombine(q)
+
+
+def _mds_recombine(q):
+    """Four u32 part-sums (weights 2^0,2^16,2^32,2^48, each < 2^25) ->
+    canonical (lo, hi)."""
+    m16 = np.uint32(0xFFFF)
+    z = np.uint32(0)
+    lo32, ca = gl.addc32(q[0], (q[1] & m16) << np.uint32(16))
+    hi1 = q[2] + (q[1] >> np.uint32(16)) + ca  # < 2^26, no wrap
+    hi32, cb = gl.addc32(hi1, (q[3] & m16) << np.uint32(16))
+    top = (q[3] >> np.uint32(16)) + cb  # < 2^10
+    # value = lo32 + 2^32 hi32 + 2^64 top; 2^64 = 2^32 - 1 (mod p)
+    ulo = z - top
+    uhi = top - (top != 0).astype(np.uint32)
+    l, h, c = gl.add64(lo32, hi32, ulo, uhi)
+    l, h, _ = gl.add64(l, h, c * gl.EPS, c * z)
+    return gl.canonicalize(l, h)
 
 
 def _add_rc(lo, hi, r, xp):

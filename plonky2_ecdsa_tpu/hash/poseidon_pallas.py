@@ -60,15 +60,25 @@ def _kernel(rc_lo_ref, rc_hi_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
                 for i, (lo, hi) in enumerate(rows)]
 
     def mds(rows):
+        # lazy 16-bit-part accumulation (see poseidon._mds_stacked): split
+        # each row once, accumulate the <=41-weight circulant in plain u32
+        # lanes, one modular recombination per output row
+        m16 = np.uint32(0xFFFF)
+        s16 = np.uint32(16)
+        parts = [(lo & m16, lo >> s16, hi & m16, hi >> s16) for lo, hi in rows]
         out = []
         for i in range(W):
-            acc = None
+            q = [None] * 4
             for d, c in enumerate(ps.MDS_CIRC):
-                t = gl.mul_small(*rows[(i + d) % W], np.uint32(c))
-                acc = t if acc is None else gl.add(*acc, *t)
+                c = np.uint32(c)
+                src = parts[(i + d) % W]
+                for k in range(4):
+                    t = src[k] * c
+                    q[k] = t if q[k] is None else q[k] + t
             if i == 0:
-                acc = gl.add(*acc, *gl.mul_small(*rows[0], np.uint32(ps.MDS_DIAG0)))
-            out.append(acc)
+                d0c = np.uint32(ps.MDS_DIAG0)
+                q = [qk + parts[0][k] * d0c for k, qk in enumerate(q)]
+            out.append(ps._mds_recombine(q))
         return out
 
     def full_round(r, rows):

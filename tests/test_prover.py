@@ -205,3 +205,23 @@ def test_batched_verifier_matches_exact():
     verify_strict(data, proof)
     for b in range(proof.pis.shape[0]):
         verify_one_exact(data, proof, b)
+
+
+def test_poseidon_matches_python_int_oracle(rng):
+    """Pin the vectorized permutation against exact python-int modular math
+    (independent of the lazy-MDS / u32-pair tricks)."""
+    v = rng.integers(0, P, size=(12,), dtype=np.uint64)
+    state = [int(x) for x in v]
+    for r in range(poseidon.TOTAL_ROUNDS):
+        state = [(s + poseidon.ROUND_CONSTANTS[r * 12 + i]) % P
+                 for i, s in enumerate(state)]
+        full = r < poseidon.HALF_FULL_ROUNDS or r >= poseidon.HALF_FULL_ROUNDS + poseidon.PARTIAL_ROUNDS
+        for i in range(12 if full else 1):
+            state[i] = pow(state[i], 7, P)
+        state = [(sum(poseidon.MDS_CIRC[d] * state[(i + d) % 12] for d in range(12))
+                  + (poseidon.MDS_DIAG0 * state[0] if i == 0 else 0)) % P
+                 for i in range(12)]
+    lo, hi = gl.from_u64(v.reshape(12, 1))
+    out = poseidon.permute_stacked(lo, hi)
+    got = [int(x) for x in gl.to_u64(*out)[:, 0]]
+    assert got == state
