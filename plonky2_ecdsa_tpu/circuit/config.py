@@ -17,7 +17,7 @@ class FriConfig:
     rate_bits: int = 3          # LDE blowup 8x
     cap_height: int = 4         # Merkle cap 2^4 roots
     num_query_rounds: int = 28
-    proof_of_work_bits: int = 0  # grinding deferred (round-1); plonky2 uses 16
+    proof_of_work_bits: int = 16  # FRI grinding, plonky2 standard-config parity
     arity_bits: int = 1         # fold arity 2
     final_poly_max_degree_bits: int = 5  # stop folding at degree < 32
 
@@ -45,5 +45,6 @@ class CircuitConfig:
     def test_config() -> "CircuitConfig":
         """Small fast config for CPU unit tests (lower FRI query count)."""
         return CircuitConfig(
-            fri=FriConfig(rate_bits=3, cap_height=1, num_query_rounds=12),
+            fri=FriConfig(rate_bits=3, cap_height=1, num_query_rounds=12,
+                          proof_of_work_bits=8),
         )

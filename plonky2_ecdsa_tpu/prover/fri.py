@@ -64,6 +64,7 @@ class FriProof:
     indices: object      # [B, Q] integer array
     layer_leaves: list  # per layer: (lo, hi) [B, Q, 4]
     layer_paths: list   # per layer: (lo, hi) [B, Q, depth, 4]
+    pow_witness: object = None  # (lo, hi) [B] grinding witness, None if pow_bits=0
 
 
 def fri_prove(challenger, F, N: int, cfg, xp=np) -> FriProof:
@@ -122,6 +123,12 @@ def fri_prove(challenger, F, N: int, cfg, xp=np) -> FriProof:
         challenger.observe((final_coeffs[0][0][..., k], final_coeffs[0][1][..., k]))
         challenger.observe((final_coeffs[1][0][..., k], final_coeffs[1][1][..., k]))
 
+    # proof-of-work grinding before query sampling (plonky2 fri/prover.rs
+    # grind step; raises the cost of transcript re-rolls by 2^pow_bits)
+    pow_witness = None
+    if cfg.fri.proof_of_work_bits:
+        pow_witness = challenger.grind(cfg.fri.proof_of_work_bits)
+
     idx_list = challenger.get_indices(N, cfg.fri.num_query_rounds)
     indices = xp.stack([ix.astype(xp.int32) for ix in idx_list], axis=-1)  # [B, Q]
 
@@ -139,7 +146,8 @@ def fri_prove(challenger, F, N: int, cfg, xp=np) -> FriProof:
         size = half
 
     return FriProof(caps=caps, final_coeffs=final_coeffs, indices=indices,
-                    layer_leaves=layer_leaves, layer_paths=layer_paths)
+                    layer_leaves=layer_leaves, layer_paths=layer_paths,
+                    pow_witness=pow_witness)
 
 
 def _jnp_take_along(arr, idx, axis):

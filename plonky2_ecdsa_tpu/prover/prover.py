@@ -366,7 +366,8 @@ def _register_pytrees():
 
     jax.tree_util.register_pytree_node(
         fri.FriProof,
-        lambda p: ((p.caps, p.final_coeffs, p.indices, p.layer_leaves, p.layer_paths), None),
+        lambda p: ((p.caps, p.final_coeffs, p.indices, p.layer_leaves,
+                    p.layer_paths, p.pow_witness), None),
         lambda aux, ch: fri.FriProof(*ch),
     )
     jax.tree_util.register_pytree_node(

@@ -202,6 +202,11 @@ def verify_strict(data: CircuitData, proof: Proof):
     for k in range(nfinal):
         ch.observe((final_coeffs[0][0][..., k], final_coeffs[0][1][..., k]))
         ch.observe((final_coeffs[1][0][..., k], final_coeffs[1][1][..., k]))
+    if cfg.fri.proof_of_work_bits:
+        if fp.pow_witness is None:
+            raise VerifyError("missing FRI PoW witness")
+        w = (np.asarray(fp.pow_witness[0]), np.asarray(fp.pow_witness[1]))
+        req(ch.check_pow(w, cfg.fri.proof_of_work_bits), "FRI PoW check failed")
     idx_list = ch.get_indices(N, cfg.fri.num_query_rounds)
     indices = np.stack([ix.astype(np.int64) for ix in idx_list], axis=-1)  # [B, Q]
     req(indices == np.asarray(fp.indices).astype(np.int64), "query indices mismatch")
@@ -606,6 +611,10 @@ def verify_one_exact(data: CircuitData, proof: Proof, b: int):
     ]
     for k in range(nfinal):
         ch.observe_ext(_to_alg(final_coeffs[k]))
+    if cfg.fri.proof_of_work_bits:
+        assert fp.pow_witness is not None, "missing FRI PoW witness"
+        w = (np.asarray(fp.pow_witness[0])[b], np.asarray(fp.pow_witness[1])[b])
+        assert ch.check_pow(w, cfg.fri.proof_of_work_bits), "FRI PoW check failed"
     idx_arrays = ch.get_indices(N, cfg.fri.num_query_rounds)
     indices = [int(ix) for ix in idx_arrays]
     assert indices == [int(v) for v in fp.indices[b]], "query indices mismatch"

@@ -183,6 +183,39 @@ def test_verify_rejects_tampered_initial_leaf():
         verify_strict(data, proof)
 
 
+def test_challenger_pow_grind_roundtrip():
+    """grind() and check_pow() agree and keep prover/verifier transcripts in
+    sync (plonky2 FRI proof_of_work_bits protocol step)."""
+    from plonky2_ecdsa_tpu.prover.challenger import Challenger
+
+    ch = Challenger(np, (3,))
+    ch.observe(gl.from_int(12345, (3,)))
+    w = ch.grind(8)
+    ch2 = Challenger(np, (3,))
+    ch2.observe(gl.from_int(12345, (3,)))
+    assert ch2.check_pow(w, 8).all()
+    a, b = ch.get_challenge(), ch2.get_challenge()
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    # a wrong witness fails the response check (w.h.p.)
+    ch3 = Challenger(np, (3,))
+    ch3.observe(gl.from_int(12345, (3,)))
+    bad = (w[0] ^ np.uint32(1), w[1])
+    assert not ch3.check_pow(bad, 8).any()
+
+
+def test_verify_rejects_tampered_pow_witness():
+    import copy
+
+    data, proof, c = _prove_small(2)
+    assert data.circuit.config.fri.proof_of_work_bits > 0
+    assert proof.fri_proof.pow_witness is not None
+    proof = copy.deepcopy(proof)
+    proof.fri_proof.pow_witness[0][0] ^= np.uint32(1)
+    assert not verify(data, proof)
+    with pytest.raises(AssertionError):
+        verify_strict(data, proof)
+
+
 def test_poseidon_pallas_interpret(rng):
     """Mosaic kernel math == jnp/numpy permutation (interpret mode on CPU)."""
     import jax.numpy as jnp
