@@ -149,6 +149,138 @@ def scalar_mul(pt: Point, k: int) -> Point:
     return acc
 
 
+class ProjectivePoint:
+    """Jacobian-coordinate point (x = X/Z^2, y = Y/Z^3).
+
+    Reference ProjectivePoint (curve_types.rs:137-236) with the same EFD
+    formula choices: dbl-2007-bl doubling (curve_types.rs:191-218),
+    add-1998-cmo-2 proj+proj and madd-1998-cmo proj+affine additions
+    (curve_adds.rs:8-111), and Montgomery batch inversion in
+    `batch_to_affine` (curve_types.rs:173-189)."""
+
+    __slots__ = ("curve", "X", "Y", "Z")
+
+    def __init__(self, curve: CurveParams, X: int, Y: int, Z: int):
+        self.curve = curve
+        self.X, self.Y, self.Z = X % curve.p, Y % curve.p, Z % curve.p
+
+    @staticmethod
+    def zero(curve: CurveParams) -> "ProjectivePoint":
+        return ProjectivePoint(curve, 1, 1, 0)
+
+    @staticmethod
+    def from_affine(pt: Point) -> "ProjectivePoint":
+        if pt.zero:
+            return ProjectivePoint.zero(pt.curve)
+        return ProjectivePoint(pt.curve, pt.x, pt.y, 1)
+
+    @property
+    def is_zero(self) -> bool:
+        return self.Z == 0
+
+    def to_affine(self) -> Point:
+        if self.is_zero:
+            return self.curve.zero()
+        p = self.curve.p
+        zinv = pow(self.Z, -1, p)
+        z2 = zinv * zinv % p
+        return Point(self.curve, self.X * z2 % p, self.Y * z2 % p * zinv % p)
+
+    def double(self) -> "ProjectivePoint":
+        # dbl-2007-bl (general a; curve_types.rs:191-218)
+        if self.is_zero:
+            return self
+        p, a = self.curve.p, self.curve.a
+        X1, Y1, Z1 = self.X, self.Y, self.Z
+        if Y1 == 0:
+            return ProjectivePoint.zero(self.curve)
+        XX = X1 * X1 % p
+        YY = Y1 * Y1 % p
+        YYYY = YY * YY % p
+        ZZ = Z1 * Z1 % p
+        S = 2 * ((X1 + YY) ** 2 - XX - YYYY) % p
+        M = (3 * XX + a * ZZ % p * ZZ) % p
+        T = (M * M - 2 * S) % p
+        Y3 = (M * (S - T) - 8 * YYYY) % p
+        Z3 = ((Y1 + Z1) ** 2 - YY - ZZ) % p
+        return ProjectivePoint(self.curve, T, Y3, Z3)
+
+    def __add__(self, other):
+        p = self.curve.p
+        if isinstance(other, Point):  # madd-1998-cmo (curve_adds.rs:62-111)
+            if other.zero:
+                return self
+            if self.is_zero:
+                return ProjectivePoint.from_affine(other)
+            X1, Y1, Z1 = self.X, self.Y, self.Z
+            Z1Z1 = Z1 * Z1 % p
+            U2 = other.x * Z1Z1 % p
+            S2 = other.y * Z1 % p * Z1Z1 % p
+            H = (U2 - X1) % p
+            r = (S2 - Y1) % p
+            if H == 0:
+                if r == 0:
+                    return self.double()
+                return ProjectivePoint.zero(self.curve)
+            HH = H * H % p
+            HHH = H * HH % p
+            V = X1 * HH % p
+            X3 = (r * r - HHH - 2 * V) % p
+            Y3 = (r * (V - X3) - Y1 * HHH) % p
+            Z3 = Z1 * H % p
+            return ProjectivePoint(self.curve, X3, Y3, Z3)
+        # add-1998-cmo-2 (curve_adds.rs:8-60)
+        if self.is_zero:
+            return other
+        if other.is_zero:
+            return self
+        X1, Y1, Z1 = self.X, self.Y, self.Z
+        X2, Y2, Z2 = other.X, other.Y, other.Z
+        Z1Z1 = Z1 * Z1 % p
+        Z2Z2 = Z2 * Z2 % p
+        U1 = X1 * Z2Z2 % p
+        U2 = X2 * Z1Z1 % p
+        S1 = Y1 * Z2 % p * Z2Z2 % p
+        S2 = Y2 * Z1 % p * Z1Z1 % p
+        H = (U2 - U1) % p
+        r = (S2 - S1) % p
+        if H == 0:
+            if r == 0:
+                return self.double()
+            return ProjectivePoint.zero(self.curve)
+        HH = H * H % p
+        HHH = H * HH % p
+        V = U1 * HH % p
+        X3 = (r * r - HHH - 2 * V) % p
+        Y3 = (r * (V - X3) - S1 * HHH) % p
+        Z3 = Z1 * Z2 % p * H % p
+        return ProjectivePoint(self.curve, X3, Y3, Z3)
+
+    def __neg__(self) -> "ProjectivePoint":
+        return ProjectivePoint(self.curve, self.X, -self.Y, self.Z)
+
+    def __repr__(self):
+        return f"ProjectivePoint({self.curve.name}, Z={'0' if self.is_zero else '!=0'})"
+
+
+def batch_to_affine(pts) -> list:
+    """Projective -> affine for a whole list with ONE field inversion
+    (Montgomery trick; curve_types.rs:173-189)."""
+    pts = list(pts)
+    if not pts:
+        return []
+    p = pts[0].curve.p
+    idxs = [i for i, q in enumerate(pts) if not q.is_zero]
+    zs = [pts[i].Z for i in idxs]
+    invs = _batch_inverse(zs, p)
+    out = [q.curve.zero() for q in pts]
+    for i, zinv in zip(idxs, invs):
+        q = pts[i]
+        z2 = zinv * zinv % p
+        out[i] = Point(q.curve, q.X * z2 % p, q.Y * z2 % p * zinv % p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Yao windowed multiplication / MSM (curve_multiplication.rs, curve_msm.rs)
 # ---------------------------------------------------------------------------

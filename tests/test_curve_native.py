@@ -136,3 +136,36 @@ def test_deterministic_offset_point():
     assert p32 != p25
     # stable across calls (cached + deterministic)
     assert p32 == cn.deterministic_offset_point(cn.SECP256K1, 32)
+
+
+@pytest.mark.parametrize("curve", [cn.SECP256K1, cn.P256], ids=lambda c: c.name)
+def test_projective_arithmetic_matches_affine(rng, curve):
+    """Jacobian dbl-2007-bl / add-1998-cmo-2 / madd-1998-cmo agree with the
+    affine group law (reference curve_types.rs:191-218, curve_adds.rs)."""
+    g = curve.generator()
+    a = cn.scalar_mul(g, rand_scalar(rng, curve))
+    b = cn.scalar_mul(g, rand_scalar(rng, curve))
+    pa = cn.ProjectivePoint.from_affine(a)
+    pb = cn.ProjectivePoint.from_affine(b)
+    assert (pa + pb).to_affine() == a + b
+    assert (pa + b).to_affine() == a + b            # mixed add
+    assert pa.double().to_affine() == a.double()
+    # special cases: zero, P + P, P + (-P)
+    z = cn.ProjectivePoint.zero(curve)
+    assert (z + pa).to_affine() == a
+    assert (pa + z).to_affine() == a
+    assert (pa + pa).to_affine() == a.double()
+    assert (pa + a).to_affine() == a.double()
+    assert (pa + (-pa)).is_zero
+    assert (pa + (-a)).is_zero
+
+
+def test_batch_to_affine(rng):
+    curve = cn.SECP256K1
+    g = curve.generator()
+    pts = [cn.ProjectivePoint.from_affine(cn.scalar_mul(g, rand_scalar(rng, curve)))
+           for _ in range(5)]
+    pts = [a + b for a, b in zip(pts, pts[1:] + pts[:1])]  # nontrivial Z
+    pts.insert(2, cn.ProjectivePoint.zero(curve))
+    got = cn.batch_to_affine(pts)
+    assert [q for q in got] == [q.to_affine() for q in pts]
