@@ -23,7 +23,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..prover.data import CircuitData
-from ..prover.prover import Backend, Proof, host_prep, prove_core, _register_pytrees
+from ..prover import ntt
+from ..prover.prover import (Backend, Proof, host_prep, prove_core,
+                             prover_tables, _register_pytrees)
 
 
 def prover_mesh(n_devices: int | None = None, col_parallel: int = 2):
@@ -56,11 +58,34 @@ def make_mesh_prover(data: CircuitData, mesh):
     w_sh = NamedSharding(mesh, Pspec("dp", "col", None))   # [B, wires, n]
     pi_sh = NamedSharding(mesh, Pspec("dp", None, None))   # [B, K, n]
     pis_sh = NamedSharding(mesh, Pspec("dp", None))        # [B, npis]
+    # Same platform split as make_jit_prover: closure literals on CPU (fast
+    # XLA:CPU compiles, no payload limit), jit arguments on device backends.
+    use_params = mesh.devices.flat[0].platform != "cpu"
 
-    core = jax.jit(
-        lambda w, p, pv: prove_core(data, bk, w, p, pv, jnp),
-        in_shardings=((w_sh, w_sh), (pi_sh, pi_sh), (pis_sh, pis_sh)),
-    )
+    if use_params:
+        tabs = prover_tables(data, jnp)
+        repl = NamedSharding(mesh, Pspec())  # fixed data + tables replicated
+        #                                      (prefix shardings over pytrees)
+
+        def _core(b, t, w, p, pv):
+            tok = ntt._DEVICE_TABLES.set(t)
+            try:
+                return prove_core(data, b, w, p, pv, jnp)
+            finally:
+                ntt._DEVICE_TABLES.reset(tok)
+
+        jcore = jax.jit(
+            _core,
+            in_shardings=(repl, repl, (w_sh, w_sh), (pi_sh, pi_sh), (pis_sh, pis_sh)),
+        )
+
+        def core(w, p, pv):
+            return jcore(bk, tabs, w, p, pv)
+    else:
+        core = jax.jit(
+            lambda w, p, pv: prove_core(data, bk, w, p, pv, jnp),
+            in_shardings=((w_sh, w_sh), (pi_sh, pi_sh), (pis_sh, pis_sh)),
+        )
 
     def run(W: np.ndarray, pis: np.ndarray) -> Proof:
         dp = mesh.shape["dp"]

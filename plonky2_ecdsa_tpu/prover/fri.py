@@ -57,6 +57,29 @@ def _domain_tables(N, num_layers):
     return tables, shift
 
 
+def host_tables(N: int, cfg) -> dict:
+    """Host pytree of the FRI fold/final-poly tables for ntt._DEVICE_TABLES
+    (see ntt.host_tables; avoids giant HLO literals under jit)."""
+    num_layers, final_size, _nf = plan(N, cfg)
+    tables, final_shift = _domain_tables(N, num_layers)
+    from ..fields import goldilocks as _gl
+
+    out = {}
+    size = N
+    for _shift, _g, inv2x in tables:
+        half = size // 2
+        out[f"fri_i2x:{half}"] = _gl.from_u64(inv2x)
+        size = half
+    shift_inv = pow(final_shift, -1, P)
+    sp = np.zeros(size, dtype=np.uint64)
+    acc = 1
+    for i in range(size):
+        sp[i] = acc
+        acc = acc * shift_inv % P
+    out[f"fri_spow:{size}"] = _gl.from_u64(sp)
+    return out
+
+
 @dataclass
 class FriProof:
     caps: list          # per layer: (lo, hi) [B, C, 4]
@@ -93,9 +116,11 @@ def fri_prove(challenger, F, N: int, cfg, xp=np) -> FriProof:
              (cur[1][0][..., half:], cur[1][1][..., half:]))
         s = gl.ext_add(a, b)
         d = gl.ext_sub(a, b)
-        i2x = gl.from_u64(inv2x)
-        if xp is not np:
-            i2x = (xp.asarray(i2x[0]), xp.asarray(i2x[1]))
+        if xp is np:
+            i2x = gl.from_u64(inv2x)
+        else:
+            i2x = ntt._tab(f"fri_i2x:{half}", lambda: tuple(
+                xp.asarray(a_) for a_ in gl.from_u64(inv2x)))
         even = (gl.mul(*s[0], *inv2), gl.mul(*s[1], *inv2))
         odd = (gl.mul(*d[0], *i2x), gl.mul(*d[1], *i2x))
         bexp = ((beta[0][0][..., None], beta[0][1][..., None]),
@@ -104,15 +129,20 @@ def fri_prove(challenger, F, N: int, cfg, xp=np) -> FriProof:
         size = half
 
     # final polynomial: coset INTT with the accumulated shift
-    shift_inv = pow(final_shift, -1, P)
-    sp = np.zeros(size, dtype=np.uint64)
-    acc = 1
-    for i in range(size):
-        sp[i] = acc
-        acc = acc * shift_inv % P
-    spl = gl.from_u64(sp)
-    if xp is not np:
-        spl = (xp.asarray(spl[0]), xp.asarray(spl[1]))
+    def _spow_host():
+        shift_inv = pow(final_shift, -1, P)
+        sp = np.zeros(size, dtype=np.uint64)
+        acc = 1
+        for i in range(size):
+            sp[i] = acc
+            acc = acc * shift_inv % P
+        return gl.from_u64(sp)
+
+    if xp is np:
+        spl = _spow_host()
+    else:
+        spl = ntt._tab(f"fri_spow:{size}", lambda: tuple(
+            xp.asarray(a_) for a_ in _spow_host()))
     comp = []
     for c in range(2):
         clo, chi = ntt.intt(*cur[c])

@@ -80,6 +80,54 @@ def _stage_tables(n: int, inverse: bool):
     return A, B, W
 
 
+# --------------------------------------------------------------------------
+# Device table registry.  Host tables (stage indices, twiddles, bit-reversal
+# permutations, coset powers) referenced inside a jit trace become HLO
+# *literals*, inflating the serialized module by ~100 MB at N=2^18 (breaks
+# remote-compile payload limits and cache keys).  A prover wrapper installs a
+# pytree of these tables — received as a traced jit ARGUMENT — into this
+# context for the duration of tracing; lookups then resolve to parameters
+# instead of literals.  With no context installed (tests, ad-hoc jits), the
+# numpy constants inline as before.
+# --------------------------------------------------------------------------
+
+import contextvars
+
+_DEVICE_TABLES: contextvars.ContextVar = contextvars.ContextVar(
+    "plonky2_tpu_device_tables", default=None)
+
+
+def _tab(key: str, make):
+    tabs = _DEVICE_TABLES.get()
+    if tabs is not None and key in tabs:
+        return tabs[key]
+    return make()
+
+
+def _stage_tables_dev(n, inverse):
+    import jax.numpy as jnp
+
+    A, B, W = _stage_tables(n, inverse)
+    Wlo, Whi = gl.from_u64(W)
+    return (jnp.asarray(A), jnp.asarray(B), jnp.asarray(Wlo), jnp.asarray(Whi))
+
+
+def host_tables(sizes) -> dict:
+    """Host-side pytree of every table the prover may trace for the given
+    transform sizes (pass as a jit argument; unused entries are pruned)."""
+    out = {}
+    for n in sorted(set(sizes)):
+        if n <= 1:
+            continue
+        out[f"rev:{n}"] = _bitrev(n)
+        for inverse in (False, True):
+            A, B, W = _stage_tables(n, inverse)
+            Wlo, Whi = gl.from_u64(W)
+            out[f"stage:{n}:{int(inverse)}"] = (A, B, Wlo, Whi)
+            out[f"coset:{n}:{int(inverse)}"] = gl.from_u64(_coset_powers(n, inverse))
+    return out
+
+
 @lru_cache(maxsize=None)
 def _coset_powers(n: int, inverse: bool):
     s = pow(COSET_SHIFT, P - 2, P) if inverse else COSET_SHIFT
@@ -98,11 +146,11 @@ def ntt(lo, hi, inverse: bool = False):
     assert n & (n - 1) == 0
     if n == 1:
         return lo, hi
-    rev = _bitrev(n)
-    lo, hi = lo[..., rev], hi[..., rev]
-    A, B, W = _stage_tables(n, inverse)
-    Wlo, Whi = gl.from_u64(W)
     if xp is np:
+        rev = _bitrev(n)
+        lo, hi = lo[..., rev], hi[..., rev]
+        A, B, W = _stage_tables(n, inverse)
+        Wlo, Whi = gl.from_u64(W)
         for s in range(A.shape[0]):
             blo, bhi = gl.mul(lo[..., B[s]], hi[..., B[s]], Wlo[s], Whi[s])
             lo, hi = gl.add(lo[..., A[s]], hi[..., A[s]], blo, bhi)
@@ -110,8 +158,10 @@ def ntt(lo, hi, inverse: bool = False):
         import jax
         import jax.numpy as jnp
 
-        Aj, Bj = jnp.asarray(A), jnp.asarray(B)
-        Wloj, Whij = jnp.asarray(Wlo), jnp.asarray(Whi)
+        revj = _tab(f"rev:{n}", lambda: jnp.asarray(_bitrev(n)))
+        lo, hi = jnp.take(lo, revj, axis=-1), jnp.take(hi, revj, axis=-1)
+        Aj, Bj, Wloj, Whij = _tab(
+            f"stage:{n}:{int(inverse)}", lambda: _stage_tables_dev(n, inverse))
 
         def body(s, state):
             lo, hi = state
@@ -120,7 +170,7 @@ def ntt(lo, hi, inverse: bool = False):
             t = gl.mul(b[0], b[1], Wloj[s], Whij[s])
             return gl.add(a[0], a[1], t[0], t[1])
 
-        lo, hi = jax.lax.fori_loop(0, A.shape[0], body, (lo, hi))
+        lo, hi = jax.lax.fori_loop(0, Aj.shape[0], body, (lo, hi))
     if inverse:
         ninv = pow(n, P - 2, P)
         nlo, nhi = gl.from_int(ninv, (), xp)
@@ -149,11 +199,13 @@ def coset_ntt_from_coeffs(clo, chi):
     """Coeffs (len N) -> evals on shift * K_N."""
     xp = gl._xp(clo, chi)
     N = clo.shape[-1]
-    plo, phi = gl.from_u64(_coset_powers(N, False))
-    if xp is not np:
+    if xp is np:
+        plo, phi = gl.from_u64(_coset_powers(N, False))
+    else:
         import jax.numpy as jnp
 
-        plo, phi = jnp.asarray(plo), jnp.asarray(phi)
+        plo, phi = _tab(f"coset:{N}:0", lambda: tuple(
+            jnp.asarray(a) for a in gl.from_u64(_coset_powers(N, False))))
     slo, shi = gl.mul(clo, chi, plo, phi)
     return ntt(slo, shi)
 
@@ -163,11 +215,13 @@ def coset_intt(lo, hi):
     xp = gl._xp(lo, hi)
     N = lo.shape[-1]
     clo, chi = intt(lo, hi)
-    plo, phi = gl.from_u64(_coset_powers(N, True))
-    if xp is not np:
+    if xp is np:
+        plo, phi = gl.from_u64(_coset_powers(N, True))
+    else:
         import jax.numpy as jnp
 
-        plo, phi = jnp.asarray(plo), jnp.asarray(phi)
+        plo, phi = _tab(f"coset:{N}:1", lambda: tuple(
+            jnp.asarray(a) for a in gl.from_u64(_coset_powers(N, True))))
     return gl.mul(clo, chi, plo, phi)
 
 

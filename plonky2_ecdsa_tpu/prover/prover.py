@@ -134,6 +134,24 @@ class Backend:
     def fixed_tree(self):
         return merkle.MerkleTree(levels=self.fixed_levels, cap_height=self.fixed_cap_height)
 
+    # Backend is a pytree so jitted provers take it as an ARGUMENT: closing
+    # over it would inline ~100s of MB of fixed-polynomial data as HLO
+    # literals (blows up compile payloads and cache keys).
+    _LEAF_FIELDS = ("fixed_lde", "fixed_coeffs", "fixed_levels", "ids", "sig",
+                    "x_pair", "zh_inv", "l0_lde")
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f) for f in self._LEAF_FIELDS),
+                (self.xp, self.fixed_cap_height))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.xp, obj.fixed_cap_height = aux
+        for f, v in zip(cls._LEAF_FIELDS, children):
+            setattr(obj, f, v)
+        return obj
+
 
 def _lde_commit(vals_pair, n, N, cap_height, xp):
     """values on H [B, k, n] -> (coeffs, lde, tree)."""
@@ -365,6 +383,8 @@ def _register_pytrees():
     import jax
 
     jax.tree_util.register_pytree_node(
+        Backend, Backend.tree_flatten, Backend.tree_unflatten)
+    jax.tree_util.register_pytree_node(
         fri.FriProof,
         lambda p: ((p.caps, p.final_coeffs, p.indices, p.layer_leaves,
                     p.layer_paths, p.pow_witness), None),
@@ -380,21 +400,54 @@ def _register_pytrees():
     _PYTREES_DONE = True
 
 
+def prover_tables(data: CircuitData, jnp):
+    """Device-resident NTT/FRI table pytree passed to the jitted prover as an
+    argument (keeps the traced HLO free of ~100 MB of table literals)."""
+    import jax
+
+    cfg = data.circuit.config
+    _nl, final_size, _nf = fri.plan(data.N, cfg)
+    tabs = {**ntt.host_tables([data.n, data.N, final_size]),
+            **fri.host_tables(data.N, cfg)}
+    return jax.tree_util.tree_map(jnp.asarray, tabs)
+
+
 def make_jit_prover(data: CircuitData):
     """Returns prove_fn(W, pis) running the full pipeline under jax.jit.
 
-    The circuit's fixed data is closed over as device constants; the function
-    recompiles only if the witness batch size changes."""
+    The circuit's fixed data lives on device as a Backend pytree passed BY
+    ARGUMENT (not closure, to keep the HLO free of giant literals); the
+    function recompiles only if the witness batch size changes."""
     import jax
     import jax.numpy as jnp
 
     _register_pytrees()
     bk = Backend(data, jnp)
     circuit = data.circuit
+    # Platform split: on CPU (tests/CI) the fixed data + tables stay closure
+    # literals — XLA:CPU folds them and compiles fastest, and there is no
+    # payload limit.  On device backends (axon/tpu) they are passed as jit
+    # ARGUMENTS so the serialized HLO stays small (remote-compile tunnels
+    # reject multi-100MB literal-laden modules).
+    use_params = jax.devices()[0].platform != "cpu"
 
-    @jax.jit
-    def core(wires_pair, pi_pair, pis_pair):
-        return prove_core(data, bk, wires_pair, pi_pair, pis_pair, jnp)
+    if use_params:
+        tabs = prover_tables(data, jnp)
+
+        @jax.jit
+        def jcore(bk, tabs, wires_pair, pi_pair, pis_pair):
+            tok = ntt._DEVICE_TABLES.set(tabs)
+            try:
+                return prove_core(data, bk, wires_pair, pi_pair, pis_pair, jnp)
+            finally:
+                ntt._DEVICE_TABLES.reset(tok)
+
+        def core(wires_pair, pi_pair, pis_pair):
+            return jcore(bk, tabs, wires_pair, pi_pair, pis_pair)
+    else:
+        @jax.jit
+        def core(wires_pair, pi_pair, pis_pair):
+            return prove_core(data, bk, wires_pair, pi_pair, pis_pair, jnp)
 
     def run(W: np.ndarray, pis: np.ndarray) -> Proof:
         wires_pair, pi_pair, pis_pair = host_prep(data, W, pis)
