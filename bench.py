@@ -76,7 +76,8 @@ def main():
     from plonky2_ecdsa_tpu import api
     from plonky2_ecdsa_tpu.curve import native as cn
 
-    B = int(os.environ.get("BENCH_BATCH", "8" if on_device else "1"))
+    # B=4 fits v5e HBM (B=8 needs ~22G of 15.75G); raise with BENCH_BATCH
+    B = int(os.environ.get("BENCH_BATCH", "4" if on_device else "1"))
     t0 = time.time()
     system = api.EcdsaProverSystem(cn.SECP256K1)
     build_s = time.time() - t0
