@@ -388,14 +388,23 @@ class CircuitBuilder:
             self.connect(self.wire(row, g.wire_item(copy, i)), it)
         out = self.wire(row, g.wire_out(copy))
         bit_ts = [self.wire(row, g.wire_bit(copy, j)) for j in range(4)]
+        half_ts = ([self.wire(row, g.wire_half(copy, k)) for k in range(2)]
+                   if g.split else [])
 
-        def fill(ev, idx_t=idx_t, items=np.array(items), out=out, bits=np.array(bit_ts)):
+        def fill(ev, idx_t=idx_t, items=np.array(items), out=out,
+                 bits=np.array(bit_ts), halves=np.array(half_ts, dtype=np.int64)):
             iv = ev.get(idx_t).astype(np.int64)  # [B]
             vals = ev.get(items)                 # [16, B]
             ev.set(out, np.take_along_axis(vals, iv[None, :], axis=0)[0])
             ev.set(bits, np.stack([(iv >> j) & 1 for j in range(4)]).astype(np.uint64))
+            if halves.size:
+                low = iv & 7
+                ev.set(halves, np.stack([
+                    np.take_along_axis(vals[:8], low[None, :], axis=0)[0],
+                    np.take_along_axis(vals[8:], low[None, :], axis=0)[0],
+                ]))
 
-        self.add_op(fill, [out] + bit_ts, "random_access")
+        self.add_op(fill, [out] + bit_ts + half_ts, "random_access")
         return out
 
     def range_check(self, t: int, bits: int):

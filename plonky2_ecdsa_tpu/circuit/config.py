@@ -14,9 +14,15 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class FriConfig:
-    rate_bits: int = 3          # LDE blowup 8x
+    # Blowup 4x (plonky2's standard configs use 8x because their gate set has
+    # degree-7 constraints; ours tops out at in-gate degree 4 — see
+    # RandomAccessGate's top-bit split — so a 4x LDE carries the same quotient
+    # and HALVES the prover's NTT/Merkle/constraint-eval work).  The security
+    # level is held at plonky2's 100-bit conjectured target by raising the
+    # query count: 42 queries x 2 bits/query + 16 PoW bits = 100.
+    rate_bits: int = 2          # LDE blowup 4x
     cap_height: int = 4         # Merkle cap 2^4 roots
-    num_query_rounds: int = 28
+    num_query_rounds: int = 42
     proof_of_work_bits: int = 16  # FRI grinding, plonky2 standard-config parity
     arity_bits: int = 1         # fold arity 2
     final_poly_max_degree_bits: int = 5  # stop folding at degree < 32
@@ -28,8 +34,8 @@ class CircuitConfig:
     num_routed_wires: int = 80
     num_constant_cols: int = 2
     num_challenges: int = 2
-    quotient_degree_factor: int = 8
-    permutation_chunk_size: int = 8
+    quotient_degree_factor: int = 4
+    permutation_chunk_size: int = 4
     fri: FriConfig = field(default_factory=FriConfig)
 
     @staticmethod
@@ -38,13 +44,14 @@ class CircuitConfig:
 
     @staticmethod
     def wide_ecc_config() -> "CircuitConfig":
-        # plonky2 wide_ecc_config widens the row (234 wires / 175 routed)
-        return CircuitConfig(num_wires=234, num_routed_wires=175)
+        # plonky2 wide_ecc_config widens the row (234 wires / 175 routed;
+        # routed rounded to 176 here so permutation chunks divide evenly)
+        return CircuitConfig(num_wires=234, num_routed_wires=176)
 
     @staticmethod
     def test_config() -> "CircuitConfig":
         """Small fast config for CPU unit tests (lower FRI query count)."""
         return CircuitConfig(
-            fri=FriConfig(rate_bits=3, cap_height=1, num_query_rounds=12,
+            fri=FriConfig(rate_bits=2, cap_height=1, num_query_rounds=12,
                           proof_of_work_bits=8),
         )

@@ -584,28 +584,38 @@ class RandomAccessGate(Gate):
     plonky2 RandomAccessGate equivalent — the in-circuit gather primitive
     behind random_access_curve_points (src/gadgets/curve_windowed_mul.rs:74-118).
     idx is decomposed into `bits` in-gate bits; selection via iterated
-    linear interpolation (degree bits+1)."""
+    linear interpolation.
+
+    Degree management: a single (bits)-deep interpolation tree has degree
+    bits+1 (= 5 at 4 bits), which would force an 8x LDE blowup.  For bits >= 4
+    the select is split at the TOP bit through two non-routed intermediate
+    wires: t0/t1 each select within their half using the low bits-1 bits
+    (degree bits), and out = t0 + b_top*(t1 - t0) (degree 2) — max in-gate
+    degree `bits` (4), so the whole circuit fits a 4x blowup."""
 
     def __init__(self, bits: int = 4, num_copies: int = 4):
         self.bits = bits
         self.vec_size = 1 << bits
         self.num_copies = num_copies
         self._routed_per_copy = 2 + self.vec_size
+        self.split = bits >= 4
 
     def gate_id(self):
         return f"RandomAccess({self.bits},{self.num_copies})"
 
     @property
     def num_wires(self):
-        return self.num_copies * self._routed_per_copy + self.num_copies * self.bits
+        return (self.num_copies * self._routed_per_copy
+                + self.num_copies * self.bits
+                + (2 * self.num_copies if self.split else 0))
 
     @property
     def num_constraints(self):
-        return self.num_copies * (self.bits + 2)
+        return self.num_copies * (self.bits + 2 + (2 if self.split else 0))
 
     @property
     def degree(self):
-        return self.bits + 1
+        return self.bits if self.split else self.bits + 1
 
     def wire_idx(self, c):
         return c * self._routed_per_copy
@@ -619,6 +629,18 @@ class RandomAccessGate(Gate):
     def wire_bit(self, c, j):
         return self.num_copies * self._routed_per_copy + c * self.bits + j
 
+    def wire_half(self, c, k):
+        """Intermediate select-within-half wires (split mode; k in {0,1})."""
+        return (self.num_copies * (self._routed_per_copy + self.bits) + c * 2 + k)
+
+    def _interp(self, alg, items, bits):
+        for b in bits:
+            items = [
+                alg.add(items[2 * i], alg.mul(b, alg.sub(items[2 * i + 1], items[2 * i])))
+                for i in range(len(items) // 2)
+            ]
+        return items[0]
+
     def eval(self, alg, wires, consts, ctx):
         out = []
         for c in range(self.num_copies):
@@ -630,12 +652,15 @@ class RandomAccessGate(Gate):
                 acc = alg.add(alg.mul_const(acc, 2), bits[j])
             out.append(alg.sub(acc, wires[self.wire_idx(c)]))
             items = [wires[self.wire_item(c, i)] for i in range(self.vec_size)]
-            for b in bits:
-                items = [
-                    alg.add(items[2 * i], alg.mul(b, alg.sub(items[2 * i + 1], items[2 * i])))
-                    for i in range(len(items) // 2)
-                ]
-            out.append(alg.sub(items[0], wires[self.wire_out(c)]))
+            if self.split:
+                half = self.vec_size // 2
+                t0, t1 = wires[self.wire_half(c, 0)], wires[self.wire_half(c, 1)]
+                out.append(alg.sub(self._interp(alg, items[:half], bits[:-1]), t0))
+                out.append(alg.sub(self._interp(alg, items[half:], bits[:-1]), t1))
+                sel = alg.add(t0, alg.mul(bits[-1], alg.sub(t1, t0)))
+            else:
+                sel = self._interp(alg, items, bits)
+            out.append(alg.sub(sel, wires[self.wire_out(c)]))
         return out
 
 
@@ -965,6 +990,16 @@ def _bigcmp_eval_stacked(self, alg, warr, consts, ctx):
 BigCmpGate.eval_stacked = _bigcmp_eval_stacked
 
 
+def _randacc_interp_stacked(items, bits, nb):
+    """Iterated interpolation over axis 1; bits [nc, nb, ...] -> [nc, ...]."""
+    for j in range(nb):
+        ev = (items[0][:, 0::2], items[1][:, 0::2])
+        od = (items[0][:, 1::2], items[1][:, 1::2])
+        bj = (bits[0][:, j][:, None], bits[1][:, j][:, None])
+        items = _gl.add(*ev, *_gl.mul(*bj, *_gl.sub(*od, *ev)))
+    return items[0][:, 0], items[1][:, 0]
+
+
 def _randacc_eval_stacked(self, alg, warr, consts, ctx):
     xp = alg.xp
     lo, hi = warr
@@ -981,14 +1016,25 @@ def _randacc_eval_stacked(self, alg, warr, consts, ctx):
     w2 = _const_pair_vec([1 << j for j in range(nb)], lo.ndim - 1, xp)
     rec = _sum_axis0_pairwise(_gl.mul(*bits, *(w2[0][None], w2[1][None])))
     recc = _gl.sub(*rec, *idxw)
-    for j in range(nb):
-        ev = (items[0][:, 0::2], items[1][:, 0::2])
-        od = (items[0][:, 1::2], items[1][:, 1::2])
-        bj = (bits[0][:, j][:, None], bits[1][:, j][:, None])
-        items = _gl.add(*ev, *_gl.mul(*bj, *_gl.sub(*od, *ev)))
-    interp = _gl.sub(items[0][:, 0], items[1][:, 0], *outw)
-    block_lo = xp.concatenate([bools[0], recc[0][:, None], interp[0][:, None]], 1)
-    block_hi = xp.concatenate([bools[1], recc[1][:, None], interp[1][:, None]], 1)
+    if self.split:
+        half = vs // 2
+        h_idx = _np.array([[self.wire_half(c, k) for k in range(2)] for c in range(nc)])
+        hw = (lo[h_idx], hi[h_idx])              # [nc, 2, ...]
+        s0 = _randacc_interp_stacked((items[0][:, :half], items[1][:, :half]), bits, nb - 1)
+        s1 = _randacc_interp_stacked((items[0][:, half:], items[1][:, half:]), bits, nb - 1)
+        t0c = _gl.sub(*s0, hw[0][:, 0], hw[1][:, 0])
+        t1c = _gl.sub(*s1, hw[0][:, 1], hw[1][:, 1])
+        t0 = (hw[0][:, 0], hw[1][:, 0])
+        t1 = (hw[0][:, 1], hw[1][:, 1])
+        btop = (bits[0][:, nb - 1], bits[1][:, nb - 1])
+        sel = _gl.add(*t0, *_gl.mul(*btop, *_gl.sub(*t1, *t0)))
+        interp = _gl.sub(*sel, *outw)
+        tail = [t0c, t1c, interp]
+    else:
+        sel = _randacc_interp_stacked(items, bits, nb)
+        tail = [_gl.sub(*sel, *outw)]
+    block_lo = xp.concatenate([bools[0], recc[0][:, None]] + [t[0][:, None] for t in tail], 1)
+    block_hi = xp.concatenate([bools[1], recc[1][:, None]] + [t[1][:, None] for t in tail], 1)
     nw = block_lo.shape
     return (block_lo.reshape((nw[0] * nw[1],) + nw[2:]),
             block_hi.reshape((nw[0] * nw[1],) + nw[2:]))

@@ -37,6 +37,63 @@ class CircuitData:
     perm_slots: int
 
 
+def _use_device() -> bool:
+    """Accelerate the one-time fixed-data build on a real device backend.
+
+    Same integer math either way (ntt/merkle are backend-generic); numpy is
+    kept for CI hosts where jit compiles would dominate."""
+    import os
+
+    if os.environ.get("PLONKY2_TPU_HOST_BUILD") == "1":
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _fixed_commit(fixed_values: np.ndarray, n: int, N: int, cap_height: int):
+    """fixed u64 [F0, n] -> (coeffs, lde, tree) pairs, device-jitted if available."""
+    flo, fhi = gl.from_u64(fixed_values)
+    if _use_device():
+        import jax
+        import jax.numpy as jnp
+
+        tabs = jax.tree_util.tree_map(jnp.asarray, ntt.host_tables([n, N]))
+
+        @jax.jit
+        def go(tabs, flo, fhi):
+            tok = ntt._DEVICE_TABLES.set(tabs)
+            try:
+                coeffs = ntt.intt(flo, fhi)
+                pad = jnp.zeros((flo.shape[0], N - n), jnp.uint32)
+                lde = ntt.coset_ntt_from_coeffs(
+                    jnp.concatenate([coeffs[0], pad], -1),
+                    jnp.concatenate([coeffs[1], pad], -1))
+                tree = merkle.build_merkle_tree(lde[0].T, lde[1].T, cap_height)
+                return coeffs, lde, tree.levels
+            finally:
+                ntt._DEVICE_TABLES.reset(tok)
+
+        coeffs, lde, levels = jax.tree_util.tree_map(
+            np.asarray, go(tabs, jnp.asarray(flo), jnp.asarray(fhi)))
+        tree = merkle.MerkleTree(levels=list(levels), cap_height=min(
+            cap_height, (N).bit_length() - 1))
+        return coeffs, lde, tree
+    fixed_coeffs = ntt.intt(flo, fhi)
+    clo = np.concatenate([fixed_coeffs[0],
+                          np.zeros((fixed_coeffs[0].shape[0], N - n), np.uint32)], -1)
+    chi = np.concatenate([fixed_coeffs[1],
+                          np.zeros((fixed_coeffs[1].shape[0], N - n), np.uint32)], -1)
+    fixed_lde = ntt.coset_ntt_from_coeffs(clo, chi)
+    leaves_lo = np.ascontiguousarray(fixed_lde[0].T)  # [N, F0]: polys -> leaf axis
+    leaves_hi = np.ascontiguousarray(fixed_lde[1].T)
+    tree = merkle.build_merkle_tree(leaves_lo, leaves_hi, cap_height)
+    return fixed_coeffs, fixed_lde, tree
+
+
 def build_circuit_data(circuit: Circuit) -> CircuitData:
     cfg = circuit.config
     n = circuit.n
@@ -46,16 +103,8 @@ def build_circuit_data(circuit: Circuit) -> CircuitData:
     fixed_values = np.concatenate(
         [circuit.constants, circuit.selectors, circuit.sigmas], axis=0
     ).astype(np.uint64)
-    flo, fhi = gl.from_u64(fixed_values)
-    fixed_coeffs = ntt.intt(flo, fhi)
-    clo = np.concatenate([fixed_coeffs[0],
-                          np.zeros((fixed_coeffs[0].shape[0], N - n), np.uint32)], -1)
-    chi = np.concatenate([fixed_coeffs[1],
-                          np.zeros((fixed_coeffs[1].shape[0], N - n), np.uint32)], -1)
-    fixed_lde = ntt.coset_ntt_from_coeffs(clo, chi)
-    leaves_lo = np.ascontiguousarray(fixed_lde[0].T)  # [N, F0]: polys -> leaf axis
-    leaves_hi = np.ascontiguousarray(fixed_lde[1].T)
-    fixed_tree = merkle.build_merkle_tree(leaves_lo, leaves_hi, cfg.fri.cap_height)
+    fixed_coeffs, fixed_lde, fixed_tree = _fixed_commit(
+        fixed_values, n, N, cfg.fri.cap_height)
 
     # identity encodings k_j * g^i
     g_pows = np.zeros(n, dtype=np.uint64)

@@ -119,6 +119,16 @@ def host_tables(sizes) -> dict:
     for n in sorted(set(sizes)):
         if n <= 1:
             continue
+        if n >= _FOUR_STEP_MIN:
+            n1, n2 = _split2(n)
+            for nt in {n1, n2}:
+                out[f"rev:{nt}"] = _bitrev(nt)
+                for inverse in (False, True):
+                    out[f"tws:{nt}:{int(inverse)}"] = tuple(_stage_rows(nt, inverse))
+            for inverse in (False, True):
+                out[f"fsT:{n}:{int(inverse)}"] = _four_step_T(n, inverse)
+                out[f"coset:{n}:{int(inverse)}"] = gl.from_u64(_coset_powers(n, inverse))
+            continue
         out[f"rev:{n}"] = _bitrev(n)
         for inverse in (False, True):
             A, B, W = _stage_tables(n, inverse)
@@ -126,6 +136,128 @@ def host_tables(sizes) -> dict:
             out[f"stage:{n}:{int(inverse)}"] = (A, B, Wlo, Whi)
             out[f"coset:{n}:{int(inverse)}"] = gl.from_u64(_coset_powers(n, inverse))
     return out
+
+
+# --------------------------------------------------------------------------
+# Four-step reshape NTT (the TPU fast path; also used by numpy for parity).
+#
+# The table-driven per-stage gather formulation (below) makes every butterfly
+# stage a dynamic gather over the whole tensor — gathers run on the TPU's
+# scalar/vector load path and dominate prover time.  The four-step Bailey
+# decomposition n = n1*n2 eliminates ALL per-stage gathers:
+#
+#   x view [n1, n2] (row-major) ->
+#     A[k1, j2] = NTT_{n1} over axis -2          (lanes = n2, contiguous)
+#     B        = A * T,  T[k1, j2] = w_n^{k1*j2} (one elementwise mul)
+#     transpose -> [j2, k1]                      (one relayout, TPU-friendly)
+#     X[k2, k1] = NTT_{n2} over axis -2          (lanes = n1, contiguous)
+#   reshape [n] is natural order (k = k2*n1 + k1).
+#
+# Each sub-NTT runs DIT with bit-reversed input: the bit-reversal is a take
+# over axis -2 (coarse, n1 rows of contiguous lanes) and every butterfly
+# stage is reshape + slice + concat on axis -2 — no gathers at all.
+# --------------------------------------------------------------------------
+
+_FOUR_STEP_MIN = 1 << 10
+
+
+def _split2(n: int):
+    l = n.bit_length() - 1
+    return 1 << (l // 2), 1 << (l - l // 2)  # (n1, n2), n1 <= n2
+
+
+@lru_cache(maxsize=None)
+def _stage_rows(n: int, inverse: bool):
+    """Per-stage twiddle rows as (lo, hi) u32 arrays of shape [half, 1]."""
+    return [tuple(a[:, None] for a in gl.from_u64(row))
+            for row in _twiddles(n, inverse)]
+
+
+@lru_cache(maxsize=None)
+def _four_step_T(n: int, inverse: bool):
+    """T[k1, j2] = w_n^{±k1*j2} as (lo, hi) u32 arrays [n1, n2]."""
+    n1, n2 = _split2(n)
+    g = pow(gl.POWER_OF_TWO_GENERATOR, (1 << 32) // n, P)
+    if inverse:
+        g = pow(g, P - 2, P)
+    col = np.empty(n1, dtype=object)
+    acc = 1
+    for i in range(n1):
+        col[i] = acc
+        acc = acc * g % P
+    T = np.zeros((n1, n2), dtype=np.uint64)
+    for i in range(n1):
+        w = int(col[i])
+        acc = 1
+        row = T[i]
+        for j in range(n2):
+            row[j] = acc
+            acc = acc * w % P
+    return gl.from_u64(T)
+
+
+def _ntt_axis2(lo, hi, n_t: int, inverse: bool, xp):
+    """DIT NTT over axis -2 of [..., n_t, L]; lanes on the last axis."""
+    rev = _tab_rev(n_t, xp)
+    lo = xp.take(lo, rev, axis=-2)
+    hi = xp.take(hi, rev, axis=-2)
+    rows = _tab_rows(n_t, inverse, xp)
+    lead = lo.shape[:-2]
+    L = lo.shape[-1]
+    for s, (wl, wh) in enumerate(rows):
+        half = 1 << s
+        m = half * 2
+        vl = lo.reshape(lead + (n_t // m, m, L))
+        vh = hi.reshape(lead + (n_t // m, m, L))
+        al, ah = vl[..., :half, :], vh[..., :half, :]
+        bl, bh = vl[..., half:, :], vh[..., half:, :]
+        tl, th = gl.mul(bl, bh, wl, wh)
+        ul, uh = gl.add(al, ah, tl, th)
+        dl, dh = gl.sub(al, ah, tl, th)
+        lo = xp.concatenate([ul, dl], axis=-2).reshape(lead + (n_t, L))
+        hi = xp.concatenate([uh, dh], axis=-2).reshape(lead + (n_t, L))
+    return lo, hi
+
+
+def _tab_rev(n: int, xp):
+    if xp is np:
+        return _bitrev(n)
+    import jax.numpy as jnp
+
+    return _tab(f"rev:{n}", lambda: jnp.asarray(_bitrev(n)))
+
+
+def _tab_rows(n: int, inverse: bool, xp):
+    if xp is np:
+        return _stage_rows(n, inverse)
+    import jax.numpy as jnp
+
+    return _tab(f"tws:{n}:{int(inverse)}", lambda: tuple(
+        (jnp.asarray(l), jnp.asarray(h)) for l, h in _stage_rows(n, inverse)))
+
+
+def _tab_T(n: int, inverse: bool, xp):
+    if xp is np:
+        return _four_step_T(n, inverse)
+    import jax.numpy as jnp
+
+    return _tab(f"fsT:{n}:{int(inverse)}", lambda: tuple(
+        jnp.asarray(a) for a in _four_step_T(n, inverse)))
+
+
+def _ntt_four_step(lo, hi, inverse: bool, xp):
+    n = lo.shape[-1]
+    n1, n2 = _split2(n)
+    lead = lo.shape[:-1]
+    lo = lo.reshape(lead + (n1, n2))
+    hi = hi.reshape(lead + (n1, n2))
+    lo, hi = _ntt_axis2(lo, hi, n1, inverse, xp)          # A[k1, j2]
+    Tl, Th = _tab_T(n, inverse, xp)
+    lo, hi = gl.mul(lo, hi, Tl, Th)                       # B[k1, j2]
+    lo = xp.swapaxes(lo, -1, -2)                          # [j2, k1]
+    hi = xp.swapaxes(hi, -1, -2)
+    lo, hi = _ntt_axis2(lo, hi, n2, inverse, xp)          # X[k2, k1]
+    return lo.reshape(lead + (n,)), hi.reshape(lead + (n,))
 
 
 @lru_cache(maxsize=None)
@@ -145,6 +277,13 @@ def ntt(lo, hi, inverse: bool = False):
     n = lo.shape[-1]
     assert n & (n - 1) == 0
     if n == 1:
+        return lo, hi
+    if n >= _FOUR_STEP_MIN:
+        lo, hi = _ntt_four_step(lo, hi, inverse, xp)
+        if inverse:
+            ninv = pow(n, P - 2, P)
+            nlo, nhi = gl.from_int(ninv, (), xp)
+            lo, hi = gl.mul(lo, hi, nlo, nhi)
         return lo, hi
     if xp is np:
         rev = _bitrev(n)
