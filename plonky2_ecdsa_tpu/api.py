@@ -121,18 +121,32 @@ class EcdsaProverSystem:
         return self._data
 
     # --------------------------------------------------------------- witness
-    def witness(self, stmts: list[EcdsaStatement]):
-        """Vectorized witness tape over the batch -> (W, pis)."""
-        B = len(stmts)
-        inputs = {
+    def _inputs(self, stmts: list[EcdsaStatement]) -> dict:
+        return {
             "msg": int_to_limbs([st.msg for st in stmts]),
             "r": int_to_limbs([st.r for st in stmts]),
             "s": int_to_limbs([st.s for st in stmts]),
             "pk_x": int_to_limbs([st.pk.x for st in stmts]),
             "pk_y": int_to_limbs([st.pk.y for st in stmts]),
         }
-        W = self.circuit.generate_witness(inputs, B)
+
+    def witness(self, stmts: list[EcdsaStatement]):
+        """Vectorized witness tape over the batch -> (W, pis)."""
+        W = self.circuit.generate_witness(self._inputs(stmts), len(stmts))
         return W, self.circuit.public_input_values()
+
+    def witness_pair(self, stmts: list[EcdsaStatement]):
+        """Witness directly in the prover's (lo, hi) [B, wires, n] device
+        layout (native scatter; see Circuit.generate_witness_pair)."""
+        wp = self.circuit.generate_witness_pair(self._inputs(stmts), len(stmts))
+        return wp, self.circuit.public_input_values()
+
+    def witness_vals(self, stmts: list[EcdsaStatement]):
+        """Witness as the raw tape value table [T, B] u64 — the compact form
+        consumed by make_jit_prover(...).run_vals (wires are expanded on
+        device via static gather maps; minimal host->device upload)."""
+        vals = self.circuit._run_tape(self._inputs(stmts), len(stmts), None)
+        return vals, self.circuit.public_input_values()
 
     def check(self, stmts: list[EcdsaStatement]) -> bool:
         W, pis = self.witness(stmts)

@@ -48,6 +48,7 @@ class TapeOp:
     fn: object          # callable(ev) -> None
     writes: list        # target ids written
     label: str = ""
+    rec: object = None  # (kind, params) record for the native executor
 
 
 class Evaluator:
@@ -95,10 +96,42 @@ class Circuit:
     gate_rows: dict             # gate_idx -> np.ndarray of row indices
 
     # ---- witness generation -------------------------------------------------
-    def generate_witness(self, inputs: dict, batch: int) -> np.ndarray:
+    def generate_witness(self, inputs: dict, batch: int,
+                         native: bool | None = None) -> np.ndarray:
         """inputs: name -> [B, len(target_list)] uint64 arrays.
         Returns witness matrix W [num_wires, n, B] uint64 plus keeps the
-        resolved value table for public-input extraction."""
+        resolved value table for public-input extraction.
+
+        native: run tape ops through the C++ executor (plonky2_ecdsa_tpu.native)
+        where kernels exist; None = auto (on when the library builds).  The
+        numpy closures remain the semantic reference; both paths share the
+        value table and produce bit-identical results (tested)."""
+        vals = self._run_tape(inputs, batch, native)
+        W = np.zeros((self.config.num_wires, self.n, batch), dtype=np.uint64)
+        W[self.pos_cols, self.pos_rows] = vals[self.pos_tids]
+        return W
+
+    def generate_witness_pair(self, inputs: dict, batch: int,
+                              native: bool | None = None):
+        """Witness directly as (lo, hi) u32 [B, num_wires, n] — the jitted
+        prover's device input layout.  The native scatter skips the 2+GB
+        u64 [wires, n, B] intermediate + transpose/split copies, which
+        dominate witness time at production batch sizes."""
+        vals = self._run_tape(inputs, batch, native)
+        nt = self._native_tape()
+        if nt.lib is not None:
+            from ..native import scatter_wires_pair
+
+            return scatter_wires_pair(nt.lib, vals, self.pos_cols,
+                                      self.pos_rows, self.pos_tids,
+                                      self.config.num_wires, self.n)
+        W = np.zeros((self.config.num_wires, self.n, batch), dtype=np.uint64)
+        W[self.pos_cols, self.pos_rows] = vals[self.pos_tids]
+        Wt = np.moveaxis(W, -1, 0)
+        return ((Wt & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (Wt >> np.uint64(32)).astype(np.uint32))
+
+    def _run_tape(self, inputs: dict, batch: int, native: bool | None):
         vals = np.zeros((self.num_targets, batch), dtype=np.uint64)
         for tid, v in self.constant_values.items():
             vals[tid] = v
@@ -107,12 +140,27 @@ class Circuit:
             assert data.shape == (batch, len(tids)), (name, data.shape, len(tids))
             vals[tids] = data.T
         ev = Evaluator(vals, self.read_map)
-        for op in self.tape:
-            op.fn(ev)
-        W = np.zeros((self.config.num_wires, self.n, batch), dtype=np.uint64)
-        W[self.pos_cols, self.pos_rows] = vals[self.pos_tids]
+        if native is None:
+            import os
+
+            native = os.environ.get("PLONKY2_TPU_NO_NATIVE") != "1"
+        nt = self._native_tape() if native else None
+        if nt is not None and nt.lib is not None:
+            nt.run(ev)
+        else:
+            for op in self.tape:
+                op.fn(ev)
         self._last_vals = vals
-        return W
+        return vals
+
+    def _native_tape(self):
+        nt = getattr(self, "_native_tape_cache", None)
+        if nt is None:
+            from ..native import NativeTape
+
+            nt = NativeTape(self)
+            self._native_tape_cache = nt
+        return nt
 
     def public_input_values(self) -> np.ndarray:
         """[B, num_pis] after generate_witness."""
@@ -212,12 +260,12 @@ class CircuitBuilder:
         return row, idx
 
     # ------------------------------------------------------------------- tape
-    def add_op(self, fn, writes, label: str = ""):
+    def add_op(self, fn, writes, label: str = "", rec=None):
         for t in writes:
             if t not in self._written:
                 self._written.add(t)
                 self._write_order[t] = len(self.tape)
-        self.tape.append(TapeOp(fn, list(writes), label))
+        self.tape.append(TapeOp(fn, list(writes), label, rec))
 
     def mark_written(self, targets):
         for t in targets:
@@ -284,7 +332,9 @@ class CircuitBuilder:
             a, b, c = ev.get(tids[0]), ev.get(tids[1]), ev.get(tids[2])
             ev.set(out, gadd(gmul(gmul_const(a, c0), b), gmul_const(c, c1)))
 
-        self.add_op(fill, [wout], "arith")
+        self.add_op(fill, [wout], "arith",
+                    rec=("arith", dict(m1=m1, m2=m2, ad=addend, out=wout,
+                                       c0=c0, c1=c1)))
         return wout
 
     def mul(self, a: int, b: int) -> int:
@@ -351,7 +401,8 @@ class CircuitBuilder:
             ev.set(inv, iv)
             ev.set(eq, (~nz).astype(np.uint64))
 
-        self.add_op(fill, [inv, eq], "is_equal")
+        self.add_op(fill, [inv, eq], "is_equal",
+                    rec=("is_equal", dict(d=d, inv=inv, eq=eq)))
         # d*inv = 1 - eq  ->  d*inv + eq - 1 = 0
         t = self.arithmetic(1, 1, d, inv, eq)
         self.assert_one(t)
@@ -375,7 +426,8 @@ class CircuitBuilder:
             data = np.stack([(v >> np.uint64(j)) & np.uint64(1) for j in range(bits)])
             ev.set(outs, data)
 
-        self.add_op(fill, bit_ts, "split")
+        self.add_op(fill, bit_ts, "split",
+                    rec=("split", dict(x=x, bits=bit_ts)))
         return bit_ts
 
     def random_access(self, idx_t: int, items: list[int]) -> int:
@@ -404,7 +456,9 @@ class CircuitBuilder:
                     np.take_along_axis(vals[8:], low[None, :], axis=0)[0],
                 ]))
 
-        self.add_op(fill, [out] + bit_ts + half_ts, "random_access")
+        self.add_op(fill, [out] + bit_ts + half_ts, "random_access",
+                    rec=("random_access", dict(idx=idx_t, items=items, out=out,
+                                               bits=bit_ts, halves=half_ts)))
         return out
 
     def range_check(self, t: int, bits: int):
@@ -434,7 +488,9 @@ class CircuitBuilder:
                     )  # [V', nl, B]
                     ev.set(outs, limbs)
 
-                self.add_op(fill, flat.ravel().tolist(), f"range{bits}")
+                self.add_op(fill, flat.ravel().tolist(), f"range{bits}",
+                            rec=("range", dict(vals=chunk, limbs=flat,
+                                               nl=gate.num_limbs)))
         self._pending_range = {29: [], 34: []}
 
     def _add_public_input_rows(self) -> PublicInputLayout:

@@ -153,7 +153,10 @@ def assert_canonical(b: CircuitBuilder, x: NonNativeTarget):
         _set29(ev, brw_ts, brw.astype(np.uint32))
         ev.set(le, (1 - brw[:, N - 1]).astype(np.uint64))
 
-    b.add_op(fill, d_ts + brw_ts + [le], "cmp_const")
+    b.add_op(fill, d_ts + brw_ts + [le], "cmp_const",
+             rec=("cmp_const", dict(x=x_t, mv=[(mm1 >> (BITS * i)) & MASK29
+                                               for i in range(N)],
+                                    d=d_ts, brw=brw_ts, le=le)))
 
 
 def _conv_carries(x29, y29, q29, r29, m29):
@@ -228,7 +231,8 @@ def mul_nonnative(b: CircuitBuilder, x: NonNativeTarget, y: NonNativeTarget,
         _set29(ev, r_ts, r29)
         ev.set(b_ts, carr.T.astype(np.uint64))
 
-    b.add_op(fill, list(q_ts) + list(r_ts) + list(b_ts), "mul_nn")
+    b.add_op(fill, list(q_ts) + list(r_ts) + list(b_ts), "mul_nn",
+             rec=("mul_nn", dict(x=x_t, y=y_t, q=q_ts, r=r_ts, carry=b_ts, ff=ff)))
     res = NonNativeTarget(ff, list(r_ts))
     if range_check:
         assert_canonical(b, res)
@@ -279,7 +283,8 @@ def inv_nonnative(b: CircuitBuilder, x: NonNativeTarget,
         _set29(ev, q_ts, q29)
         ev.set(b_ts, carr.T.astype(np.uint64))
 
-    b.add_op(fill, list(inv_ts) + list(q_ts) + list(b_ts), "inv_nn")
+    b.add_op(fill, list(inv_ts) + list(q_ts) + list(b_ts), "inv_nn",
+             rec=("inv_nn", dict(x=x_t, inv=inv_ts, q=q_ts, carry=b_ts, ff=ff)))
     res = NonNativeTarget(ff, inv_ts)
     if range_check:
         assert_canonical(b, res)
@@ -328,7 +333,8 @@ def add_nonnative(b: CircuitBuilder, x: NonNativeTarget, y: NonNativeTarget,
         ev.set(ovf, ge.astype(np.uint64))
         _set29(ev, c_ts, c.astype(np.uint32))
 
-    b.add_op(fill, list(s_ts) + [ovf] + list(c_ts), "add_nn")
+    b.add_op(fill, list(s_ts) + [ovf] + list(c_ts), "add_nn",
+             rec=("add_nn", dict(x=x_t, y=y_t, s=s_ts, ovf=ovf, c=c_ts, ff=ff)))
     res = NonNativeTarget(ff, s_ts)
     if range_check:
         assert_canonical(b, res)
@@ -379,7 +385,8 @@ def sub_nonnative(b: CircuitBuilder, x: NonNativeTarget, y: NonNativeTarget,
         ev.set(ovf, ov.astype(np.uint64))
         _set29(ev, c_ts, c.astype(np.uint32))
 
-    b.add_op(fill, list(d_ts) + [ovf] + list(c_ts), "sub_nn")
+    b.add_op(fill, list(d_ts) + [ovf] + list(c_ts), "sub_nn",
+             rec=("sub_nn", dict(x=x_t, y=y_t, s=d_ts, ovf=ovf, c=c_ts, ff=ff)))
     res = NonNativeTarget(ff, d_ts)
     if range_check:
         assert_canonical(b, res)
@@ -435,7 +442,8 @@ def add_many_nonnative(b: CircuitBuilder, terms: list,
         ev.set(ovf, ov.astype(np.uint64))
         ev.set(c_ts, c.T.astype(np.uint64))
 
-    b.add_op(fill, list(s_ts) + [ovf] + list(c_ts), "add_many_nn")
+    b.add_op(fill, list(s_ts) + [ovf] + list(c_ts), "add_many_nn",
+             rec=("add_many_nn", dict(terms=term_ts, s=s_ts, ovf=ovf, c=c_ts, ff=ff)))
     res = NonNativeTarget(ff, s_ts)
     if range_check:
         assert_canonical(b, res)

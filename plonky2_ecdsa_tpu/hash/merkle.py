@@ -79,6 +79,53 @@ def _jnp_take_along(arr, idx, axis):
     return jnp.take_along_axis(arr, idx, axis=axis)
 
 
+def leaf_digests_from_polys(lde_lo, lde_hi, xp):
+    """Streaming leaf hash from poly-major LDE tensors [..., k, N]: leaf j is
+    the sponge over the k poly values at domain point j.
+
+    Absorbs rate-8 slices along the POLY axis (state [12, ..., N]) instead of
+    materializing the [..., N, k] leaf-major copy that hash_leaves needs —
+    the peak-memory fix that lets the wires commitment stream through HBM.
+    Returns digest arrays [..., N, 4]."""
+    from . import poseidon
+
+    k = lde_lo.shape[-2]
+    lead = lde_lo.shape[:-2] + (lde_lo.shape[-1],)
+    state_lo = xp.zeros((poseidon.WIDTH,) + lead, xp.uint32)
+    state_hi = xp.zeros_like(state_lo)
+    R = poseidon.RATE
+    for off in range(0, k, R):
+        r = min(R, k - off)
+        chunk_lo = xp.moveaxis(lde_lo[..., off : off + r, :], -2, 0)
+        chunk_hi = xp.moveaxis(lde_hi[..., off : off + r, :], -2, 0)
+        state_lo = xp.concatenate([chunk_lo, state_lo[r:]], 0)
+        state_hi = xp.concatenate([chunk_hi, state_hi[r:]], 0)
+        state_lo, state_hi = poseidon.permute_stacked(state_lo, state_hi)
+    return (xp.moveaxis(state_lo[:4], 0, -1), xp.moveaxis(state_hi[:4], 0, -1))
+
+
+def build_merkle_tree_from_polys(lde_pair, cap_height: int, xp) -> MerkleTree:
+    """Tree over leaves defined by poly-major LDE tensors [..., k, N]."""
+    dlo, dhi = leaf_digests_from_polys(lde_pair[0], lde_pair[1], xp)
+    return _build_tree_from_digests(dlo, dhi, cap_height, xp)
+
+
+def _build_tree_from_digests(dlo, dhi, cap_height: int, xp) -> MerkleTree:
+    L = dlo.shape[-2]
+    assert L & (L - 1) == 0
+    cap_height = min(cap_height, L.bit_length() - 1)
+    levels = [(dlo, dhi)]
+    size = L
+    while size > (1 << cap_height):
+        llo, lhi = levels[-1]
+        pair_lo = llo.reshape(llo.shape[:-2] + (size // 2, 8))
+        pair_hi = lhi.reshape(lhi.shape[:-2] + (size // 2, 8))
+        digest = poseidon.hash_no_pad(_pairs_from_axis(pair_lo, pair_hi))
+        levels.append(_stack_pairs(digest, xp))
+        size //= 2
+    return MerkleTree(levels=levels, cap_height=cap_height)
+
+
 def build_merkle_tree(leaf_lo, leaf_hi, cap_height: int) -> MerkleTree:
     """leaf data [..., L, W] -> tree with cap at 2^cap_height roots."""
     xp = gl._xp(leaf_lo, leaf_hi)

@@ -70,7 +70,9 @@ def make_mesh_prover(data: CircuitData, mesh):
         def _core(b, t, w, p, pv):
             tok = ntt._DEVICE_TABLES.set(t)
             try:
-                return prove_core(data, b, w, p, pv, jnp)
+                # stream_commit=False: the fori_loop streaming commit slices
+                # the col-sharded wires axis, which GSPMD would serialize
+                return prove_core(data, b, w, p, pv, jnp, stream_commit=False)
             finally:
                 ntt._DEVICE_TABLES.reset(tok)
 
@@ -83,7 +85,8 @@ def make_mesh_prover(data: CircuitData, mesh):
             return jcore(bk, tabs, w, p, pv)
     else:
         core = jax.jit(
-            lambda w, p, pv: prove_core(data, bk, w, p, pv, jnp),
+            lambda w, p, pv: prove_core(data, bk, w, p, pv, jnp,
+                                        stream_commit=False),
             in_shardings=((w_sh, w_sh), (pi_sh, pi_sh), (pis_sh, pis_sh)),
         )
 
@@ -93,7 +96,7 @@ def make_mesh_prover(data: CircuitData, mesh):
         assert B % dp == 0, f"batch {B} must divide over dp={dp}"
         wires_pair, pi_pair, pis_pair = host_prep(data, W, pis)
         proof = core(wires_pair, pi_pair, pis_pair)
-        proof = jax.tree_util.tree_map(np.asarray, proof)
+        proof = jax.device_get(proof)
         proof.pis = np.asarray(pis)
         return proof
 

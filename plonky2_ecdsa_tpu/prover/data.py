@@ -58,30 +58,36 @@ def _fixed_commit(fixed_values: np.ndarray, n: int, N: int, cap_height: int):
     """fixed u64 [F0, n] -> (coeffs, lde, tree) pairs, device-jitted if available."""
     flo, fhi = gl.from_u64(fixed_values)
     if _use_device():
-        import jax
-        import jax.numpy as jnp
+        try:
+            import jax
+            import jax.numpy as jnp
 
-        tabs = jax.tree_util.tree_map(jnp.asarray, ntt.host_tables([n, N]))
+            tabs = jax.tree_util.tree_map(jnp.asarray, ntt.host_tables([n, N]))
 
-        @jax.jit
-        def go(tabs, flo, fhi):
-            tok = ntt._DEVICE_TABLES.set(tabs)
-            try:
-                coeffs = ntt.intt(flo, fhi)
-                pad = jnp.zeros((flo.shape[0], N - n), jnp.uint32)
-                lde = ntt.coset_ntt_from_coeffs(
-                    jnp.concatenate([coeffs[0], pad], -1),
-                    jnp.concatenate([coeffs[1], pad], -1))
-                tree = merkle.build_merkle_tree(lde[0].T, lde[1].T, cap_height)
-                return coeffs, lde, tree.levels
-            finally:
-                ntt._DEVICE_TABLES.reset(tok)
+            @jax.jit
+            def go(tabs, flo, fhi):
+                tok = ntt._DEVICE_TABLES.set(tabs)
+                try:
+                    coeffs = ntt.intt(flo, fhi)
+                    pad = jnp.zeros((flo.shape[0], N - n), jnp.uint32)
+                    lde = ntt.coset_ntt_from_coeffs(
+                        jnp.concatenate([coeffs[0], pad], -1),
+                        jnp.concatenate([coeffs[1], pad], -1))
+                    tree = merkle.build_merkle_tree(lde[0].T, lde[1].T, cap_height)
+                    return coeffs, lde, tree.levels
+                finally:
+                    ntt._DEVICE_TABLES.reset(tok)
 
-        coeffs, lde, levels = jax.tree_util.tree_map(
-            np.asarray, go(tabs, jnp.asarray(flo), jnp.asarray(fhi)))
-        tree = merkle.MerkleTree(levels=list(levels), cap_height=min(
-            cap_height, (N).bit_length() - 1))
-        return coeffs, lde, tree
+            coeffs, lde, levels = jax.tree_util.tree_map(
+                np.asarray, go(tabs, jnp.asarray(flo), jnp.asarray(fhi)))
+            tree = merkle.MerkleTree(levels=list(levels), cap_height=min(
+                cap_height, (N).bit_length() - 1))
+            return coeffs, lde, tree
+        except Exception as e:  # transient device/tunnel failures -> host path
+            import sys
+
+            print(f"[plonky2_ecdsa_tpu] device fixed-commit failed ({e}); "
+                  "falling back to host build", file=sys.stderr)
     fixed_coeffs = ntt.intt(flo, fhi)
     clo = np.concatenate([fixed_coeffs[0],
                           np.zeros((fixed_coeffs[0].shape[0], N - n), np.uint32)], -1)

@@ -159,22 +159,97 @@ def _lde_commit(vals_pair, n, N, cap_height, xp):
     pad = xp.zeros(clo.shape[:-1] + (N - n,), xp.uint32)
     lde = ntt.coset_ntt_from_coeffs(xp.concatenate([clo, pad], -1),
                                     xp.concatenate([chi, pad], -1))
-    leaves_lo = xp.moveaxis(lde[0], -2, -1)  # [B, N, k]
-    leaves_hi = xp.moveaxis(lde[1], -2, -1)
-    tree = merkle.build_merkle_tree(leaves_lo, leaves_hi, cap_height)
+    tree = merkle.build_merkle_tree_from_polys(lde, cap_height, xp)
     return (clo, chi), lde, tree
 
 
-def host_prep(data: CircuitData, W: np.ndarray, pis: np.ndarray):
-    """Host-side prep: u64 witness/PI tensors -> u32-pair device inputs.
+def _lde_commit_wires_stream(vals_pair, n, N, cap_height, xp):
+    """Streaming wires commitment: identical output to _lde_commit, but the
+    INTT/LDE runs in rate-8 wire groups inside one fori_loop that absorbs
+    each group straight into the Merkle leaf sponge.
 
-    W: [num_wires, n, B] uint64; pis: [B, npis] uint64.
+    Peak temporaries are one [B, 8, N] group + the persistent outputs
+    (coeffs / lde buffers, sponge state) instead of ~4 full [B, k, N]
+    copies — the difference between B=8 and B=32 fitting in one chip's HBM."""
+    from ..hash import poseidon
+
+    if xp is np:
+        return _lde_commit(vals_pair, n, N, cap_height, xp)
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    B, k, _ = vals_pair[0].shape
+    G = poseidon.RATE
+    ngroups, rem = divmod(k, G)
+
+    def group_lde(glo, ghi):
+        clo, chi = ntt.intt(glo, ghi)
+        pad = jnp.zeros(clo.shape[:-1] + (N - n,), jnp.uint32)
+        lde = ntt.coset_ntt_from_coeffs(jnp.concatenate([clo, pad], -1),
+                                        jnp.concatenate([chi, pad], -1))
+        return (clo, chi), lde
+
+    coeffs_lo = jnp.zeros((B, k, n), jnp.uint32)
+    coeffs_hi = jnp.zeros((B, k, n), jnp.uint32)
+    lde_lo = jnp.zeros((B, k, N), jnp.uint32)
+    lde_hi = jnp.zeros((B, k, N), jnp.uint32)
+    state_lo = jnp.zeros((poseidon.WIDTH, B, N), jnp.uint32)
+    state_hi = jnp.zeros_like(state_lo)
+
+    def body(i, carry):
+        clo, chi, llo, lhi, slo, shi = carry
+        off = i * G
+        glo = lax.dynamic_slice_in_dim(vals_pair[0], off, G, axis=1)
+        ghi = lax.dynamic_slice_in_dim(vals_pair[1], off, G, axis=1)
+        (gclo, gchi), glde = group_lde(glo, ghi)
+        clo = lax.dynamic_update_slice_in_dim(clo, gclo, off, axis=1)
+        chi = lax.dynamic_update_slice_in_dim(chi, gchi, off, axis=1)
+        llo = lax.dynamic_update_slice_in_dim(llo, glde[0], off, axis=1)
+        lhi = lax.dynamic_update_slice_in_dim(lhi, glde[1], off, axis=1)
+        slo = jnp.concatenate([jnp.moveaxis(glde[0], 1, 0), slo[G:]], 0)
+        shi = jnp.concatenate([jnp.moveaxis(glde[1], 1, 0), shi[G:]], 0)
+        slo, shi = poseidon.permute_stacked(slo, shi)
+        return clo, chi, llo, lhi, slo, shi
+
+    coeffs_lo, coeffs_hi, lde_lo, lde_hi, state_lo, state_hi = lax.fori_loop(
+        0, ngroups, body,
+        (coeffs_lo, coeffs_hi, lde_lo, lde_hi, state_lo, state_hi))
+
+    if rem:
+        off = ngroups * G
+        glo = vals_pair[0][:, off:]
+        ghi = vals_pair[1][:, off:]
+        (gclo, gchi), glde = group_lde(glo, ghi)
+        coeffs_lo = lax.dynamic_update_slice_in_dim(coeffs_lo, gclo, off, axis=1)
+        coeffs_hi = lax.dynamic_update_slice_in_dim(coeffs_hi, gchi, off, axis=1)
+        lde_lo = lax.dynamic_update_slice_in_dim(lde_lo, glde[0], off, axis=1)
+        lde_hi = lax.dynamic_update_slice_in_dim(lde_hi, glde[1], off, axis=1)
+        state_lo = jnp.concatenate([jnp.moveaxis(glde[0], 1, 0), state_lo[rem:]], 0)
+        state_hi = jnp.concatenate([jnp.moveaxis(glde[1], 1, 0), state_hi[rem:]], 0)
+        state_lo, state_hi = poseidon.permute_stacked(state_lo, state_hi)
+
+    digests = (jnp.moveaxis(state_lo[:4], 0, -1), jnp.moveaxis(state_hi[:4], 0, -1))
+    tree = merkle._build_tree_from_digests(digests[0], digests[1], cap_height, xp)
+    return (coeffs_lo, coeffs_hi), (lde_lo, lde_hi), tree
+
+
+def host_prep(data: CircuitData, W, pis: np.ndarray):
+    """Host-side prep: witness/PI tensors -> u32-pair device inputs.
+
+    W: [num_wires, n, B] uint64, or an already-prepared (lo, hi) u32 pair in
+    [B, wires, n] layout (from Circuit.generate_witness_pair — the native
+    scatter path).  pis: [B, npis] uint64.
     Returns (wires_pair [B,wires,n], pi_pair [B,K,n], pis_pair [B,npis])."""
     circuit = data.circuit
     n = data.n
-    B = W.shape[-1]
-    wires_u64 = np.ascontiguousarray(np.moveaxis(W, -1, 0))  # [B, wires, n]
-    wires_pair = gl.from_u64(wires_u64)
+    if isinstance(W, tuple):
+        wires_pair = W
+        B = W[0].shape[0]
+    else:
+        B = W.shape[-1]
+        wires_u64 = np.ascontiguousarray(np.moveaxis(W, -1, 0))  # [B, wires, n]
+        wires_pair = gl.from_u64(wires_u64)
     K = circuit.pi.num_cols
     pi_vals = np.zeros((B, K, n), np.uint64)
     for blk, row in enumerate(circuit.pi.rows):
@@ -203,10 +278,14 @@ def prove(data: CircuitData, W: np.ndarray, pis: np.ndarray, xp=np,
 
 
 def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
-               xp, stop_after: str | None = None) -> Proof:
+               xp, stop_after: str | None = None,
+               stream_commit: bool = True) -> Proof:
     """Pure tensor pipeline: (wires, pi polys, pi values) pairs -> Proof.
     Jit-able for a fixed circuit shape.  stop_after: compile-time debug knob
-    ('commit'|'zs'|'quotient'|'openings'|'fri') to truncate the pipeline."""
+    ('commit'|'zs'|'quotient'|'openings'|'fri') to truncate the pipeline.
+    stream_commit: use the fori_loop streaming wires commitment (single-chip
+    memory optimization); pass False under a wire-axis-sharded mesh, where
+    the loop's dynamic slices would force GSPMD halo exchanges."""
     circuit = data.circuit
     cfg = circuit.config
     n, N = data.n, data.N
@@ -217,7 +296,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     B = wires_pair[0].shape[0]
     caph = cfg.fri.cap_height
 
-    wires_coeffs, wires_lde, wires_tree = _lde_commit(wires_pair, n, N, caph, xp)
+    commit_fn = _lde_commit_wires_stream if stream_commit else _lde_commit
+    wires_coeffs, wires_lde, wires_tree = commit_fn(wires_pair, n, N, caph, xp)
     if stop_after == 'commit':
         return wires_tree.cap
 
@@ -282,8 +362,7 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     qpad = xp.zeros((B, C * rate, N - n), xp.uint32)
     quot_lde = ntt.coset_ntt_from_coeffs(xp.concatenate([chunks_lo, qpad], -1),
                                          xp.concatenate([chunks_hi, qpad], -1))
-    quot_tree = merkle.build_merkle_tree(xp.moveaxis(quot_lde[0], -2, -1),
-                                         xp.moveaxis(quot_lde[1], -2, -1), caph)
+    quot_tree = merkle.build_merkle_tree_from_polys(quot_lde, caph, xp)
     ch.observe_cap(quot_tree.cap)
     if stop_after == 'quotient':
         return quot_tree.cap
@@ -412,24 +491,111 @@ def prover_tables(data: CircuitData, jnp):
     return jax.tree_util.tree_map(jnp.asarray, tabs)
 
 
+def _scatter_maps(data: CircuitData):
+    """Static gather maps realizing the witness scatter ON DEVICE.
+
+    The tape's value table vals[B, T] is ~17x smaller than the full wire
+    tensor [B, wires, n]; shipping vals and gathering on device cuts the
+    host->device transfer per batch accordingly (the tunnel/PCIe upload is
+    otherwise the serving bottleneck).  Index T (one past the table) is a
+    zero slot for unpopulated cells."""
+    circuit = data.circuit
+    cfg = circuit.config
+    n = data.n
+    T = circuit.num_targets
+    imap = np.full(cfg.num_wires * n, T, np.int32)
+    imap[circuit.pos_cols * n + circuit.pos_rows] = circuit.pos_tids
+    K = circuit.pi.num_cols
+    imap_pi = np.full(K * n, T, np.int32)
+    for blk, row in enumerate(circuit.pi.rows):
+        for j in range(K):
+            idx = blk * K + j
+            if idx < circuit.pi.count:
+                imap_pi[j * n + row] = circuit.pi_tids[idx]
+    return imap, imap_pi, np.asarray(circuit.pi_tids, np.int32)
+
+
+def vals_to_pair(vals: np.ndarray):
+    """vals [T, B] u64 -> (lo, hi) u32 [B, T+1] with a trailing zero slot."""
+    B = vals.shape[1]
+    out = np.zeros((B, vals.shape[0] + 1), np.uint64)
+    out[:, :-1] = vals.T
+    return gl.from_u64(out)
+
+
+def _pack_spec(proof_struct):
+    """(treedef, shapes, dtypes) for packing a traced Proof into ONE u32
+    buffer: a remote-tunnel device reads back each output buffer with its own
+    round trip, so ~100 small proof leaves cost seconds; one packed buffer is
+    one readback."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(proof_struct)
+    shapes = [tuple(l.shape) for l in leaves]
+    dtypes = [np.dtype(l.dtype) for l in leaves]
+    return treedef, shapes, dtypes
+
+
+def _pack_proof(proof, xp):
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(proof)
+    flat = [l.astype(xp.uint32).reshape(-1) for l in leaves]
+    return xp.concatenate(flat) if flat else xp.zeros((0,), xp.uint32)
+
+
+def _unpack_proof(buf: np.ndarray, spec):
+    import jax
+
+    treedef, shapes, dtypes = spec
+    out = []
+    off = 0
+    for shape, dt in zip(shapes, dtypes):
+        k = int(np.prod(shape)) if shape else 1
+        out.append(buf[off : off + k].astype(dt).reshape(shape))
+        off += k
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def make_jit_prover(data: CircuitData):
     """Returns prove_fn(W, pis) running the full pipeline under jax.jit.
 
     The circuit's fixed data lives on device as a Backend pytree passed BY
     ARGUMENT (not closure, to keep the HLO free of giant literals); the
-    function recompiles only if the witness batch size changes."""
+    function recompiles only if the witness batch size changes.
+
+    The returned fn also exposes `.run_vals(vals, pis)` taking the tape's
+    raw value table [T, B] u64 — the production path: the wire/PI tensors
+    are then built on device from static gather maps, minimizing upload."""
     import jax
     import jax.numpy as jnp
 
     _register_pytrees()
     bk = Backend(data, jnp)
     circuit = data.circuit
+    n = data.n
+    K = circuit.pi.num_cols
+    cfgw = circuit.config.num_wires
     # Platform split: on CPU (tests/CI) the fixed data + tables stay closure
     # literals — XLA:CPU folds them and compiles fastest, and there is no
     # payload limit.  On device backends (axon/tpu) they are passed as jit
     # ARGUMENTS so the serialized HLO stays small (remote-compile tunnels
     # reject multi-100MB literal-laden modules).
     use_params = jax.devices()[0].platform != "cpu"
+
+    imap, imap_pi, pi_tids32 = _scatter_maps(data)
+    maps = tuple(jnp.asarray(a) for a in (imap, imap_pi, pi_tids32))
+    spec_cell: dict = {}
+
+    def _expand(maps, vals_pair):
+        im, ipi, pit = maps
+        B = vals_pair[0].shape[0]
+        wires_pair = (vals_pair[0][:, im].reshape(B, cfgw, n),
+                      vals_pair[1][:, im].reshape(B, cfgw, n))
+        pi_pair = (vals_pair[0][:, ipi].reshape(B, K, n),
+                   vals_pair[1][:, ipi].reshape(B, K, n))
+        pis_pair = (vals_pair[0][:, pit], vals_pair[1][:, pit])
+        return wires_pair, pi_pair, pis_pair
 
     if use_params:
         tabs = prover_tables(data, jnp)
@@ -444,19 +610,50 @@ def make_jit_prover(data: CircuitData):
 
         def core(wires_pair, pi_pair, pis_pair):
             return jcore(bk, tabs, wires_pair, pi_pair, pis_pair)
+
+        @jax.jit
+        def jcore_vals(bk, tabs, maps, vals_pair):
+            tok = ntt._DEVICE_TABLES.set(tabs)
+            try:
+                proof = prove_core(data, bk, *_expand(maps, vals_pair), jnp)
+            finally:
+                ntt._DEVICE_TABLES.reset(tok)
+            spec_cell["spec"] = _pack_spec(proof)
+            return _pack_proof(proof, jnp)
+
+        def core_vals(vals_pair):
+            return jcore_vals(bk, tabs, maps, vals_pair)
     else:
         @jax.jit
         def core(wires_pair, pi_pair, pis_pair):
             return prove_core(data, bk, wires_pair, pi_pair, pis_pair, jnp)
 
-    def run(W: np.ndarray, pis: np.ndarray) -> Proof:
+        @jax.jit
+        def core_vals(vals_pair):
+            proof = prove_core(data, bk, *_expand(maps, vals_pair), jnp)
+            spec_cell["spec"] = _pack_spec(proof)
+            return _pack_proof(proof, jnp)
+
+    def run(W, pis: np.ndarray) -> Proof:
         wires_pair, pi_pair, pis_pair = host_prep(data, W, pis)
         proof = core(wires_pair, pi_pair, pis_pair)
-        proof = jax.tree_util.tree_map(np.asarray, proof)
+        # device_get: one bulk async readback.  Per-leaf np.asarray would pay
+        # a tunnel round-trip for each of the proof's ~100 arrays.
+        proof = jax.device_get(proof)
+        proof.pis = np.asarray(pis)
+        return proof
+
+    def run_vals(vals: np.ndarray, pis: np.ndarray) -> Proof:
+        """vals: the tape's value table [T, B] u64 (Circuit._run_tape).
+        Ships ~17x less data up than the expanded wire tensors and reads the
+        proof back as ONE packed buffer."""
+        buf = np.asarray(core_vals(vals_to_pair(vals)))
+        proof = _unpack_proof(buf, spec_cell["spec"])
         proof.pis = np.asarray(pis)
         return proof
 
     run.core = core
+    run.run_vals = run_vals
     run.backend = bk
     return run
 
@@ -505,9 +702,21 @@ def _ext_mul_base_const(e, c: int):
     return (gl.mul(*e[0], *cp), gl.mul(*e[1], *cp))
 
 
+def _quotient_num_chunks(N: int, xp) -> int:
+    """Domain-chunk count for the quotient pass: bounds peak temporaries
+    (per-gate [nw, B, Nc] broadcasts) at large batch sizes."""
+    if xp is np:
+        return 1
+    return max(1, N // (1 << 14))
+
+
 def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
                       alphas, B, xp):
-    """Combined constraint evals / Z_H over the LDE coset -> [B, C, N] pairs."""
+    """Combined constraint evals / Z_H over the LDE coset -> [B, C, N] pairs.
+
+    Pointwise in the domain, so it runs in N-chunks (one fori_loop) to bound
+    peak HBM: the per-gate stacked evaluations broadcast [nw, B, Nc] wire
+    tensors that would otherwise hold several full-N copies live at once."""
     circuit = data.circuit
     cfg = circuit.config
     n, N = data.n, data.N
@@ -516,18 +725,14 @@ def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
     chunk = cfg.permutation_chunk_size
     nchunks = nr // chunk
     S = len(circuit.gates)
-    shape = (B, N)
 
     # alpha powers [B, slots] per challenge (log-depth doubling)
     apow_arr = [gl.powers(alphas[c][0], alphas[c][1], data.num_constraint_slots)
                 for c in range(C)]
     apows = [[(apow_arr[c][0][:, s], apow_arr[c][1][:, s])
               for s in range(data.num_constraint_slots)] for c in range(C)]
-    comb = [(xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32)) for _ in range(C)]
 
     sel_off = cfg.num_constant_cols
-    sig_lde = (bk.fixed_lde[0][sel_off + S : sel_off + S + nr],
-               bk.fixed_lde[1][sel_off + S : sel_off + S + nr])
     roll = N // n
     # id encodings over the LDE domain: k_j * x, stacked [nr, N]
     ids_lo, ids_hi = [], []
@@ -539,74 +744,116 @@ def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
             il, ih = gl.mul(*bk.x_pair, *kp)
         ids_lo.append(il)
         ids_hi.append(ih)
-    ids_st = (xp.stack(ids_lo, 0), xp.stack(ids_hi, 0))  # [nr, N]
-    w_all = (wires_lde[0][:, :nr], wires_lde[1][:, :nr])  # [B, nr, N]
-    for c in range(C):
-        # wire-axis-vectorized f_j / g_j then log-depth per-chunk products
-        beta2 = (betas[c][0][:, None, None], betas[c][1][:, None, None])
-        gamma2 = (gammas[c][0][:, None, None], gammas[c][1][:, None, None])
-        bid = gl.mul(ids_st[0][None], ids_st[1][None], *beta2)
-        bsg = gl.mul(sig_lde[0][None], sig_lde[1][None], *beta2)
-        f_all = gl.add(*gl.add(*w_all, *bid), gamma2[0], gamma2[1])
-        g_all = gl.add(*gl.add(*w_all, *bsg), gamma2[0], gamma2[1])
-        flo = xp.moveaxis(f_all[0].reshape(B, nchunks, chunk, N), 2, -1)
-        fhi = xp.moveaxis(f_all[1].reshape(B, nchunks, chunk, N), 2, -1)
-        glo = xp.moveaxis(g_all[0].reshape(B, nchunks, chunk, N), 2, -1)
-        ghi = xp.moveaxis(g_all[1].reshape(B, nchunks, chunk, N), 2, -1)
-        fp = _prod_last(flo, fhi)  # [B, nchunks, N]
-        gp = _prod_last(glo, ghi)
-        z = (zs_lde[0][:, c * nchunks], zs_lde[1][:, c * nchunks])
-        z_shift = (xp.roll(z[0], -roll, -1), xp.roll(z[1], -roll, -1))
-        # prev[t] = (Z, p_0, ..., p_{k-2}); left[t] = (p_0, ..., p_{k-2}, Z<<)
-        prev = (zs_lde[0][:, c * nchunks : c * nchunks + nchunks],
-                zs_lde[1][:, c * nchunks : c * nchunks + nchunks])
-        left = (xp.concatenate([prev[0][:, 1:], z_shift[0][:, None]], 1),
-                xp.concatenate([prev[1][:, 1:], z_shift[1][:, None]], 1))
-        termt = gl.sub(*gl.mul(*left, *gp), *gl.mul(*prev, *fp))  # [B, nchunks, N]
-        # weight by alpha slots 1..nchunks and fold into comb
-        a_lo = xp.stack([apows[c][1 + t][0] for t in range(nchunks)], 1)  # [B, nchunks]
-        a_hi = xp.stack([apows[c][1 + t][1] for t in range(nchunks)], 1)
-        wt = gl.mul(*termt, a_lo[:, :, None], a_hi[:, :, None])
-        comb[c] = gl.add(*comb[c], *_sum_pairs_axis(*wt, 1, xp))
-        # slot 0: L0 * (Z - 1)
-        one = (xp.ones(shape, xp.uint32), xp.zeros(shape, xp.uint32))
-        term = gl.mul(*_bc(bk.l0_lde, shape, xp), *gl.sub(*z, *one))
-        ap = _bc((apows[c][0][0][:, None], apows[c][0][1][:, None]), shape, xp)
-        comb[c] = gl.add(*comb[c], *gl.mul(*term, *ap))
+    ids_full = (xp.stack(ids_lo, 0), xp.stack(ids_hi, 0))  # [nr, N]
+    # Z(g x) for each challenge, precomputed (the roll crosses chunk bounds)
+    zsh_full = (xp.roll(zs_lde[0][:, ::nchunks][:, :C], -roll, -1),
+                xp.roll(zs_lde[1][:, ::nchunks][:, :C], -roll, -1))  # [B, C, N]
 
-    # gate constraints (vectorized stacked evaluation, see gates.eval_stacked)
     from ..circuit.gates import _sum_axis0
 
-    alg = BaseAlgebra(xp, shape)
-    consts = [_bc((bk.fixed_lde[0][j], bk.fixed_lde[1][j]), shape, xp)
-              for j in range(cfg.num_constant_cols)]
-    for gi, gate in enumerate(circuit.gates):
-        if gate.num_constraints == 0:
-            continue
-        sel = _bc((bk.fixed_lde[0][sel_off + gi], bk.fixed_lde[1][sel_off + gi]), shape, xp)
-        nw = gate.num_wires
-        warr = (xp.broadcast_to(xp.moveaxis(wires_lde[0][:, :nw], 1, 0), (nw,) + shape),
-                xp.broadcast_to(xp.moveaxis(wires_lde[1][:, :nw], 1, 0), (nw,) + shape))
-        ctx = {}
-        if isinstance(gate, PublicInputGate):
-            ctx["pi_vals"] = [_bc((pi_lde[0][:, j], pi_lde[1][:, j]), shape, xp)
-                              for j in range(gate.num_cols)]
-        cons = gate.eval_stacked(alg, warr, consts, ctx)  # [ncons, B, N]
-        ncons = cons[0].shape[0]
+    def eval_chunk(sl):
+        """sl: slice-taker f(arr, axis) -> chunk views; returns [B,C,Nc] pair."""
+        w_lde = (sl(wires_lde[0]), sl(wires_lde[1]))
+        fixed = (sl(bk.fixed_lde[0]), sl(bk.fixed_lde[1]))
+        zsc = (sl(zs_lde[0]), sl(zs_lde[1]))
+        zshc = (sl(zsh_full[0]), sl(zsh_full[1]))
+        pic = (sl(pi_lde[0]), sl(pi_lde[1]))
+        ids_st = (sl(ids_full[0]), sl(ids_full[1]))
+        l0c = (sl(bk.l0_lde[0]), sl(bk.l0_lde[1]))
+        zhc = (sl(bk.zh_inv[0]), sl(bk.zh_inv[1]))
+        Nc = w_lde[0].shape[-1]
+        shape = (B, Nc)
+        sig_lde = (fixed[0][sel_off + S : sel_off + S + nr],
+                   fixed[1][sel_off + S : sel_off + S + nr])
+        w_all = (w_lde[0][:, :nr], w_lde[1][:, :nr])  # [B, nr, Nc]
+        comb = [(xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32))
+                for _ in range(C)]
         for c in range(C):
-            avec_lo = xp.stack([apows[c][data.perm_slots + s][0] for s in range(ncons)], 0)
-            avec_hi = xp.stack([apows[c][data.perm_slots + s][1] for s in range(ncons)], 0)
-            weighted = gl.mul(cons[0], cons[1], avec_lo[:, :, None], avec_hi[:, :, None])
-            term = _sum_axis0(*weighted)
-            comb[c] = gl.add(*comb[c], *gl.mul(*sel, *term))
+            # wire-axis-vectorized f_j / g_j then log-depth per-chunk products
+            beta2 = (betas[c][0][:, None, None], betas[c][1][:, None, None])
+            gamma2 = (gammas[c][0][:, None, None], gammas[c][1][:, None, None])
+            bid = gl.mul(ids_st[0][None], ids_st[1][None], *beta2)
+            bsg = gl.mul(sig_lde[0][None], sig_lde[1][None], *beta2)
+            f_all = gl.add(*gl.add(*w_all, *bid), gamma2[0], gamma2[1])
+            g_all = gl.add(*gl.add(*w_all, *bsg), gamma2[0], gamma2[1])
+            flo = xp.moveaxis(f_all[0].reshape(B, nchunks, chunk, Nc), 2, -1)
+            fhi = xp.moveaxis(f_all[1].reshape(B, nchunks, chunk, Nc), 2, -1)
+            glo = xp.moveaxis(g_all[0].reshape(B, nchunks, chunk, Nc), 2, -1)
+            ghi = xp.moveaxis(g_all[1].reshape(B, nchunks, chunk, Nc), 2, -1)
+            fp = _prod_last(flo, fhi)  # [B, nchunks, Nc]
+            gp = _prod_last(glo, ghi)
+            z = (zsc[0][:, c * nchunks], zsc[1][:, c * nchunks])
+            z_shift = (zshc[0][:, c], zshc[1][:, c])
+            # prev[t] = (Z, p_0, ..., p_{k-2}); left[t] = (p_0, ..., p_{k-2}, Z<<)
+            prev = (zsc[0][:, c * nchunks : c * nchunks + nchunks],
+                    zsc[1][:, c * nchunks : c * nchunks + nchunks])
+            left = (xp.concatenate([prev[0][:, 1:], z_shift[0][:, None]], 1),
+                    xp.concatenate([prev[1][:, 1:], z_shift[1][:, None]], 1))
+            termt = gl.sub(*gl.mul(*left, *gp), *gl.mul(*prev, *fp))  # [B, nchunks, Nc]
+            # weight by alpha slots 1..nchunks and fold into comb
+            a_lo = xp.stack([apows[c][1 + t][0] for t in range(nchunks)], 1)  # [B, nchunks]
+            a_hi = xp.stack([apows[c][1 + t][1] for t in range(nchunks)], 1)
+            wt = gl.mul(*termt, a_lo[:, :, None], a_hi[:, :, None])
+            comb[c] = gl.add(*comb[c], *_sum_pairs_axis(*wt, 1, xp))
+            # slot 0: L0 * (Z - 1)
+            one = (xp.ones(shape, xp.uint32), xp.zeros(shape, xp.uint32))
+            term = gl.mul(*_bc(l0c, shape, xp), *gl.sub(*z, *one))
+            ap = _bc((apows[c][0][0][:, None], apows[c][0][1][:, None]), shape, xp)
+            comb[c] = gl.add(*comb[c], *gl.mul(*term, *ap))
 
-    zh = _bc(bk.zh_inv, shape, xp)
-    out_lo, out_hi = [], []
-    for c in range(C):
-        q = gl.mul(*comb[c], *zh)
-        out_lo.append(q[0])
-        out_hi.append(q[1])
-    return (xp.stack(out_lo, 1), xp.stack(out_hi, 1))
+        # gate constraints (vectorized stacked evaluation, see gates.eval_stacked)
+        alg = BaseAlgebra(xp, shape)
+        consts = [_bc((fixed[0][j], fixed[1][j]), shape, xp)
+                  for j in range(cfg.num_constant_cols)]
+        for gi, gate in enumerate(circuit.gates):
+            if gate.num_constraints == 0:
+                continue
+            sel = _bc((fixed[0][sel_off + gi], fixed[1][sel_off + gi]), shape, xp)
+            nw = gate.num_wires
+            warr = (xp.broadcast_to(xp.moveaxis(w_lde[0][:, :nw], 1, 0), (nw,) + shape),
+                    xp.broadcast_to(xp.moveaxis(w_lde[1][:, :nw], 1, 0), (nw,) + shape))
+            ctx = {}
+            if isinstance(gate, PublicInputGate):
+                ctx["pi_vals"] = [_bc((pic[0][:, j], pic[1][:, j]), shape, xp)
+                                  for j in range(gate.num_cols)]
+            cons = gate.eval_stacked(alg, warr, consts, ctx)  # [ncons, B, Nc]
+            ncons = cons[0].shape[0]
+            for c in range(C):
+                avec_lo = xp.stack([apows[c][data.perm_slots + s][0] for s in range(ncons)], 0)
+                avec_hi = xp.stack([apows[c][data.perm_slots + s][1] for s in range(ncons)], 0)
+                weighted = gl.mul(cons[0], cons[1], avec_lo[:, :, None], avec_hi[:, :, None])
+                term = _sum_axis0(*weighted)
+                comb[c] = gl.add(*comb[c], *gl.mul(*sel, *term))
+
+        zh = _bc(zhc, shape, xp)
+        out_lo, out_hi = [], []
+        for c in range(C):
+            q = gl.mul(*comb[c], *zh)
+            out_lo.append(q[0])
+            out_hi.append(q[1])
+        return (xp.stack(out_lo, 1), xp.stack(out_hi, 1))
+
+    nch = _quotient_num_chunks(N, xp)
+    if nch == 1:
+        return eval_chunk(lambda a: a)
+
+    import jax
+    from jax import lax
+
+    Nc = N // nch
+    out_lo = xp.zeros((B, C, N), xp.uint32)
+    out_hi = xp.zeros((B, C, N), xp.uint32)
+
+    def body(i, out):
+        olo, ohi = out
+        start = i * Nc
+        qlo, qhi = eval_chunk(
+            lambda a: lax.dynamic_slice_in_dim(a, start, Nc, axis=a.ndim - 1))
+        olo = lax.dynamic_update_slice_in_dim(olo, qlo, start, axis=2)
+        ohi = lax.dynamic_update_slice_in_dim(ohi, qhi, start, axis=2)
+        return olo, ohi
+
+    return lax.fori_loop(0, nch, body, (out_lo, out_hi))
 
 
 def _reduced_poly(data, bk, layout, wires_lde, zs_lde, quot_lde, openings0,
@@ -618,52 +865,78 @@ def _reduced_poly(data, bk, layout, wires_lde, zs_lde, quot_lde, openings0,
     alpha-power vector in a handful of big tensor ops (a per-poly Python loop
     here traces ~200x more XLA primitives and dominates jit compile time)."""
     N = data.N
-    shape = (B, N)
     T = layout.total
-    x_ext = _ext_from_base(_bc(bk.x_pair, shape, xp), xp)
-    inv0 = gl.ext_inverse(gl.ext_sub(x_ext, _ext_bc(zeta, shape, xp)))
-    inv1 = gl.ext_inverse(gl.ext_sub(x_ext, _ext_bc(gzeta, shape, xp)))
-
-    # all committed polys stacked [B, T, N] (base field; order = layout order)
-    plo = xp.concatenate([
-        xp.broadcast_to(bk.fixed_lde[0][None], (B,) + bk.fixed_lde[0].shape),
-        wires_lde[0], zs_lde[0], quot_lde[0]], 1)
-    phi = xp.concatenate([
-        xp.broadcast_to(bk.fixed_lde[1][None], (B,) + bk.fixed_lde[1].shape),
-        wires_lde[1], zs_lde[1], quot_lde[1]], 1)
-
+    Cz = len(z_idx)
     apows = ntt.ext_powers(alpha, T)  # ext pair [B, T]
-    # numerator sum_i apow_i * p_i: ext-scalar x base = two base muls
-    n0 = gl.mul(plo, phi, apows[0][0][:, :, None], apows[0][1][:, :, None])
-    n1 = gl.mul(plo, phi, apows[1][0][:, :, None], apows[1][1][:, :, None])
-    s0 = _sum_pairs_axis(*n0, 1, xp)  # [B, N]
-    s1 = _sum_pairs_axis(*n1, 1, xp)
-    # y-part: sum_i apow_i * y_i (ext*ext over [B, T])
+    apows1 = ntt.ext_powers(alpha, Cz)
+    # y-parts: sum_i apow_i * y_i (ext*ext over [B, T]) — domain-independent
     ye = gl.ext_mul(apows, openings0)
     y0 = _sum_pairs_axis(*ye[0], 1, xp)  # [B]
     y1 = _sum_pairs_axis(*ye[1], 1, xp)
-    acc = (gl.sub(*s0, y0[0][:, None], y0[1][:, None]),
-           gl.sub(*s1, y1[0][:, None], y1[1][:, None]))
-    F = gl.ext_mul(acc, inv0)
-
-    # Z polys at g*zeta (C of them)
-    Cz = len(z_idx)
-    zplo = xp.stack([zs_lde[0][:, j] for j in z_idx], 1)  # [B, C, N]
-    zphi = xp.stack([zs_lde[1][:, j] for j in z_idx], 1)
-    apows1 = ntt.ext_powers(alpha, Cz)
-    m0 = gl.mul(zplo, zphi, apows1[0][0][:, :, None], apows1[0][1][:, :, None])
-    m1 = gl.mul(zplo, zphi, apows1[1][0][:, :, None], apows1[1][1][:, :, None])
-    t0 = _sum_pairs_axis(*m0, 1, xp)
-    t1 = _sum_pairs_axis(*m1, 1, xp)
     ye1 = gl.ext_mul(apows1, open_zs_gzeta)
     w0 = _sum_pairs_axis(*ye1[0], 1, xp)
     w1 = _sum_pairs_axis(*ye1[1], 1, xp)
-    acc1 = (gl.sub(*t0, w0[0][:, None], w0[1][:, None]),
-            gl.sub(*t1, w1[0][:, None], w1[1][:, None]))
     # alpha^T = apows[T-1] * alpha
     alast = ((apows[0][0][:, T - 1], apows[0][1][:, T - 1]),
              (apows[1][0][:, T - 1], apows[1][1][:, T - 1]))
     apow_T = gl.ext_mul(alast, alpha)
-    F = gl.ext_add(F, gl.ext_mul(_ext_bc(apow_T, shape, xp),
-                                 gl.ext_mul(acc1, inv1)))
-    return F
+
+    def eval_chunk(sl):
+        xc = (sl(bk.x_pair[0]), sl(bk.x_pair[1]))
+        fixed = (sl(bk.fixed_lde[0]), sl(bk.fixed_lde[1]))
+        wl = (sl(wires_lde[0]), sl(wires_lde[1]))
+        zl = (sl(zs_lde[0]), sl(zs_lde[1]))
+        ql = (sl(quot_lde[0]), sl(quot_lde[1]))
+        Nc = xc[0].shape[-1]
+        shape = (B, Nc)
+        x_ext = _ext_from_base(_bc(xc, shape, xp), xp)
+        inv0 = gl.ext_inverse(gl.ext_sub(x_ext, _ext_bc(zeta, shape, xp)))
+        inv1 = gl.ext_inverse(gl.ext_sub(x_ext, _ext_bc(gzeta, shape, xp)))
+        # all committed polys stacked [B, T, Nc] (base; order = layout order)
+        plo = xp.concatenate([
+            xp.broadcast_to(fixed[0][None], (B,) + fixed[0].shape),
+            wl[0], zl[0], ql[0]], 1)
+        phi = xp.concatenate([
+            xp.broadcast_to(fixed[1][None], (B,) + fixed[1].shape),
+            wl[1], zl[1], ql[1]], 1)
+        # numerator sum_i apow_i * p_i: ext-scalar x base = two base muls
+        n0 = gl.mul(plo, phi, apows[0][0][:, :, None], apows[0][1][:, :, None])
+        n1 = gl.mul(plo, phi, apows[1][0][:, :, None], apows[1][1][:, :, None])
+        s0 = _sum_pairs_axis(*n0, 1, xp)  # [B, Nc]
+        s1 = _sum_pairs_axis(*n1, 1, xp)
+        acc = (gl.sub(*s0, y0[0][:, None], y0[1][:, None]),
+               gl.sub(*s1, y1[0][:, None], y1[1][:, None]))
+        F = gl.ext_mul(acc, inv0)
+        # Z polys at g*zeta (C of them)
+        zplo = xp.stack([zl[0][:, j] for j in z_idx], 1)  # [B, C, Nc]
+        zphi = xp.stack([zl[1][:, j] for j in z_idx], 1)
+        m0 = gl.mul(zplo, zphi, apows1[0][0][:, :, None], apows1[0][1][:, :, None])
+        m1 = gl.mul(zplo, zphi, apows1[1][0][:, :, None], apows1[1][1][:, :, None])
+        t0 = _sum_pairs_axis(*m0, 1, xp)
+        t1 = _sum_pairs_axis(*m1, 1, xp)
+        acc1 = (gl.sub(*t0, w0[0][:, None], w0[1][:, None]),
+                gl.sub(*t1, w1[0][:, None], w1[1][:, None]))
+        F = gl.ext_add(F, gl.ext_mul(_ext_bc(apow_T, shape, xp),
+                                     gl.ext_mul(acc1, inv1)))
+        return F
+
+    nch = _quotient_num_chunks(N, xp)
+    if nch == 1:
+        return eval_chunk(lambda a: a)
+
+    from jax import lax
+
+    Nc = N // nch
+    out = tuple((xp.zeros((B, N), xp.uint32), xp.zeros((B, N), xp.uint32))
+                for _ in range(2))
+
+    def body(i, out):
+        start = i * Nc
+        F = eval_chunk(
+            lambda a: lax.dynamic_slice_in_dim(a, start, Nc, axis=a.ndim - 1))
+        return tuple(
+            (lax.dynamic_update_slice_in_dim(out[c][0], F[c][0], start, axis=1),
+             lax.dynamic_update_slice_in_dim(out[c][1], F[c][1], start, axis=1))
+            for c in range(2))
+
+    return lax.fori_loop(0, nch, body, out)

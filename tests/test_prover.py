@@ -258,3 +258,26 @@ def test_poseidon_matches_python_int_oracle(rng):
     out = poseidon.permute_stacked(lo, hi)
     got = [int(x) for x in gl.to_u64(*out)[:, 0]]
     assert got == state
+
+
+def test_streaming_wire_commit_matches_plain(rng):
+    """_lde_commit_wires_stream (fori_loop + sponge absorb) must produce the
+    exact coeffs/LDE/cap of the plain path, incl. the k%8 remainder absorb
+    (live for wide_ecc_config's 234 wires)."""
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.prover.prover import _lde_commit, _lde_commit_wires_stream
+
+    n, N, caph = 32, 128, 2
+    for k in (16, 10):  # multiple-of-rate and remainder paths
+        vals = rng.integers(0, P, size=(3, k, n), dtype=np.uint64)
+        pair = gl.from_u64(vals)
+        ref_coeffs, ref_lde, ref_tree = _lde_commit(pair, n, N, caph, np)
+        jpair = (jnp.asarray(pair[0]), jnp.asarray(pair[1]))
+        coeffs, lde, tree = _lde_commit_wires_stream(jpair, n, N, caph, jnp)
+        assert np.array_equal(np.asarray(coeffs[0]), ref_coeffs[0])
+        assert np.array_equal(np.asarray(coeffs[1]), ref_coeffs[1])
+        assert np.array_equal(np.asarray(lde[0]), ref_lde[0])
+        assert np.array_equal(np.asarray(lde[1]), ref_lde[1])
+        assert np.array_equal(np.asarray(tree.cap[0]), ref_tree.cap[0])
+        assert np.array_equal(np.asarray(tree.cap[1]), ref_tree.cap[1])
