@@ -112,3 +112,29 @@ def test_random_access(rng):
     for i, ix in enumerate(idxs[:, 0]):
         assert int(pis[i, 0]) == vals[int(ix)] % P
     assert check_constraints(c, W, pis) == {}
+
+
+def test_wide_ecc_config_ecdsa_constraints():
+    """wide_ecc_config parity (reference runs ECDSA under standard + wide,
+    src/gadgets/ecdsa.rs:163-181).  Builds the full secp256k1 verify circuit
+    under the wide config and checks every constraint on a signature batch
+    (~10 s with the native witness executor)."""
+    from plonky2_ecdsa_tpu import api
+    from plonky2_ecdsa_tpu.curve import native as cn
+
+    system = api.EcdsaProverSystem(cn.SECP256K1, CircuitConfig.wide_ecc_config())
+    stmts = api.random_statements(cn.SECP256K1, 2, seed=9)
+    assert system.check(stmts)
+
+
+def test_p256_ecdsa_circuit_constraints():
+    """P-256 verify circuit parity (reference verify_p256_message_circuit,
+    src/gadgets/ecdsa.rs:55-78 + test_ecdsa_circuit p256 variants): builds the
+    full circuit (4-bit windowed mul for u2*pk, no GLV) and checks every
+    constraint on a signature batch."""
+    from plonky2_ecdsa_tpu import api
+    from plonky2_ecdsa_tpu.curve import native as cn
+
+    system = api.EcdsaProverSystem(cn.P256)
+    stmts = api.random_statements(cn.P256, 2, seed=10)
+    assert system.check(stmts)
