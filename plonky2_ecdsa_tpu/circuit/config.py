@@ -32,7 +32,11 @@ class FriConfig:
 class CircuitConfig:
     num_wires: int = 136
     num_routed_wires: int = 80
-    num_constant_cols: int = 2
+    # 16 constant columns (plonky2 uses 2): the ECDSA circuit embeds ~18k
+    # fixed-base-table constants, which at 2/row cost ~9k rows and pushed the
+    # domain to 2^15; at 16/row the whole circuit fits n = 2^14.  Constant
+    # polys are unbatched fixed data — widening them is nearly free.
+    num_constant_cols: int = 16
     num_challenges: int = 2
     quotient_degree_factor: int = 4
     permutation_chunk_size: int = 4

@@ -46,6 +46,10 @@ def _use_device() -> bool:
 
     if os.environ.get("PLONKY2_TPU_HOST_BUILD") == "1":
         return False
+    # respect an explicit CPU request even though the axon plugin overrides
+    # JAX_PLATFORMS at registration
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return False
     try:
         import jax
 
