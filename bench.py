@@ -76,9 +76,8 @@ def main():
     from plonky2_ecdsa_tpu import api
     from plonky2_ecdsa_tpu.curve import native as cn
 
-    # streaming commit + chunked quotient keep B=16 inside v5e HBM
-    # (B=32 exceeds 15.75G by ~1.2G; see scripts/profile_prove.py)
-    B = int(os.environ.get("BENCH_BATCH", "16" if on_device else "1"))
+    # streaming commit + chunked quotient + n=2^14 keep B=32 inside v5e HBM
+    B = int(os.environ.get("BENCH_BATCH", "32" if on_device else "1"))
     t0 = time.time()
     system = api.EcdsaProverSystem(cn.SECP256K1)
     build_s = time.time() - t0
@@ -114,11 +113,20 @@ def main():
     th = threading.Thread(target=producer)
     th.start()
     done = 0
+    pending = None
     while True:
         item = q.get()
         if item is None:
             break
-        proof = run.run_vals(*item)
+        # 2-deep software pipeline: dispatch batch k+1 (async upload+prove)
+        # before collecting batch k's proof, so transfer overlaps compute
+        handle = run.dispatch_vals(*item)
+        if pending is not None:
+            proof = run.collect(pending)
+            done += 1
+        pending = handle
+    if pending is not None:
+        proof = run.collect(pending)
         done += 1
     th.join()
     dt = (time.time() - t0) / done

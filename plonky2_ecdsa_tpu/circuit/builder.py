@@ -94,6 +94,11 @@ class Circuit:
     constant_values: dict       # tid -> int
     k_coeffs: list              # cosets shifts k_j for routed columns
     gate_rows: dict             # gate_idx -> np.ndarray of row indices
+    # device-derived witness targets (see _flush_range_pools): per range-check
+    # pool kind {bits: (V, nl, rows array)}; derived_tids are excluded from
+    # the uploaded value table and recomputed on device from the value wires
+    range_layouts: dict = field(default_factory=dict)
+    derived_tids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
 
     # ---- witness generation -------------------------------------------------
     def generate_witness(self, inputs: dict, batch: int,
@@ -468,17 +473,26 @@ class CircuitBuilder:
 
     # ------------------------------------------------------------------ build
     def _flush_range_pools(self):
+        self._range_rows: dict[int, list[int]] = {29: [], 34: []}
+        self._range_limb_tids: list[int] = []
         for bits, pool in self._pending_range.items():
             V = self.rc_vals[29 if bits == 29 else 34]
             for off in range(0, len(pool), V):
                 chunk = pool[off : off + V]
                 gate = RangeCheckGate(bits, V)
                 row = self.add_row(gate)
+                self._range_rows[bits].append(row)
                 limb_ts = []
                 for v, t in enumerate(chunk):
                     self.connect(self.wire(row, gate.wire_value(v)), t)
                     limb_ts.append([self.wire(row, gate.wire_limb(v, j))
                                     for j in range(gate.num_limbs)])
+                # the base-4 limbs are sink wires, pure functions of the value
+                # wire — recorded so the prover derives them ON DEVICE instead
+                # of shipping them in the witness table (they are ~78% of all
+                # targets in the ECDSA circuit)
+                for vl in limb_ts:
+                    self._range_limb_tids.extend(vl)
                 flat = np.array(limb_ts)  # [V', nl]
 
                 def fill(ev, ts=np.array(chunk), outs=flat, nl=gate.num_limbs):
@@ -562,6 +576,21 @@ class CircuitBuilder:
 
         pi_tids = np.array([read_map[t] for t in self.public_input_targets], dtype=np.int64)
 
+        # device-derived range limbs: only sinks (singleton copy classes) are
+        # safe to drop from the uploaded table
+        class_size = np.bincount(roots, minlength=self.num_targets)
+        limb_tids = np.array(getattr(self, "_range_limb_tids", []), dtype=np.int64)
+        if limb_tids.size:
+            derived_tids = limb_tids[class_size[roots[limb_tids]] == 1]
+        else:
+            derived_tids = np.zeros(0, np.int64)
+        range_layouts = {}
+        for bits, rows in getattr(self, "_range_rows", {}).items():
+            if rows:
+                g = RangeCheckGate(bits, self.rc_vals[29 if bits == 29 else 34])
+                range_layouts[bits] = (g.num_vals, g.num_limbs,
+                                       np.array(rows, dtype=np.int64))
+
         return Circuit(
             config=cfg,
             n=n,
@@ -582,6 +611,8 @@ class CircuitBuilder:
             constant_values=self.constant_values,
             k_coeffs=k_coeffs,
             gate_rows=gate_rows,
+            range_layouts=range_layouts,
+            derived_tids=derived_tids,
         )
 
     def _compute_sigmas(self, n: int, roots: np.ndarray):

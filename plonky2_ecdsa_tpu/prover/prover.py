@@ -494,25 +494,38 @@ def prover_tables(data: CircuitData, jnp):
 def _scatter_maps(data: CircuitData):
     """Static gather maps realizing the witness scatter ON DEVICE.
 
-    The tape's value table vals[B, T] is ~17x smaller than the full wire
-    tensor [B, wires, n]; shipping vals and gathering on device cuts the
+    The tape's value table is far smaller than the full wire tensor
+    [B, wires, n]; shipping it compacted and gathering on device cuts the
     host->device transfer per batch accordingly (the tunnel/PCIe upload is
-    otherwise the serving bottleneck).  Index T (one past the table) is a
-    zero slot for unpopulated cells."""
+    otherwise the serving bottleneck).  Targets listed in
+    circuit.derived_tids (range-check base-4 limbs — ~78% of all targets in
+    the ECDSA circuit) are excluded entirely: the device derives them from
+    the value wires after the gather.  The last compact index is a zero slot
+    for unpopulated cells (incl. derived positions before derivation)."""
     circuit = data.circuit
     cfg = circuit.config
     n = data.n
     T = circuit.num_targets
-    imap = np.full(cfg.num_wires * n, T, np.int32)
-    imap[circuit.pos_cols * n + circuit.pos_rows] = circuit.pos_tids
+    keep_mask = np.ones(T, bool)
+    keep_mask[circuit.derived_tids] = False
+    keep_ids = np.nonzero(keep_mask)[0]
+    Kc = len(keep_ids)
+    new_of = np.full(T + 1, Kc, np.int64)  # default -> zero slot
+    new_of[keep_ids] = np.arange(Kc)
+    imap = np.full(cfg.num_wires * n, Kc, np.int32)
+    imap[circuit.pos_cols * n + circuit.pos_rows] = new_of[circuit.pos_tids]
     K = circuit.pi.num_cols
-    imap_pi = np.full(K * n, T, np.int32)
+    imap_pi = np.full(K * n, Kc, np.int32)
     for blk, row in enumerate(circuit.pi.rows):
         for j in range(K):
             idx = blk * K + j
             if idx < circuit.pi.count:
-                imap_pi[j * n + row] = circuit.pi_tids[idx]
-    return imap, imap_pi, np.asarray(circuit.pi_tids, np.int32)
+                imap_pi[j * n + row] = new_of[circuit.pi_tids[idx]]
+    pit = new_of[circuit.pi_tids].astype(np.int32)
+    layouts = sorted(circuit.range_layouts.items())  # [(bits, (V, nl, rows))]
+    rows_arrays = [np.asarray(rows, np.int32) for _, (_V, _nl, rows) in layouts]
+    layout_meta = tuple((bits, V, nl) for bits, (V, nl, _r) in layouts)
+    return imap, imap_pi, pit, keep_ids, rows_arrays, layout_meta
 
 
 def vals_to_pair(vals: np.ndarray):
@@ -583,19 +596,38 @@ def make_jit_prover(data: CircuitData):
     # reject multi-100MB literal-laden modules).
     use_params = jax.devices()[0].platform != "cpu"
 
-    imap, imap_pi, pi_tids32 = _scatter_maps(data)
-    maps = tuple(jnp.asarray(a) for a in (imap, imap_pi, pi_tids32))
+    imap, imap_pi, pi_tids32, keep_ids, rows_arrays, layout_meta = _scatter_maps(data)
+    maps = (jnp.asarray(imap), jnp.asarray(imap_pi), jnp.asarray(pi_tids32),
+            tuple(jnp.asarray(r) for r in rows_arrays))
     spec_cell: dict = {}
 
+    def _derive_range_limbs(wl, wh, rows_dev):
+        """Recompute range-check base-4 limb wires from the value wires
+        (limb j of v = (v >> 2j) & 3; they were dropped from the upload)."""
+        B = wl.shape[0]
+        for (bits, V, nl), rows in zip(layout_meta, rows_dev):
+            vlo = wl[:, :V][:, :, rows]  # [B, V, R]
+            vhi = wh[:, :V][:, :, rows]
+            limbs = []
+            for j in range(nl):
+                sh = 2 * j
+                limbs.append(((vlo >> sh) & 3) if sh < 32
+                             else ((vhi >> (sh - 32)) & 3))
+            st = jnp.stack(limbs, 2).reshape(B, V * nl, rows.shape[0])
+            wl = wl.at[:, V : V + V * nl, rows].set(st)
+            # hi halves of 2-bit limbs are zero: the zero slot already put 0s
+        return wl, wh
+
     def _expand(maps, vals_pair):
-        im, ipi, pit = maps
+        im, ipi, pit, rows_dev = maps
         B = vals_pair[0].shape[0]
-        wires_pair = (vals_pair[0][:, im].reshape(B, cfgw, n),
-                      vals_pair[1][:, im].reshape(B, cfgw, n))
+        wl = vals_pair[0][:, im].reshape(B, cfgw, n)
+        wh = vals_pair[1][:, im].reshape(B, cfgw, n)
+        wl, wh = _derive_range_limbs(wl, wh, rows_dev)
         pi_pair = (vals_pair[0][:, ipi].reshape(B, K, n),
                    vals_pair[1][:, ipi].reshape(B, K, n))
         pis_pair = (vals_pair[0][:, pit], vals_pair[1][:, pit])
-        return wires_pair, pi_pair, pis_pair
+        return (wl, wh), pi_pair, pis_pair
 
     if use_params:
         tabs = prover_tables(data, jnp)
@@ -643,17 +675,29 @@ def make_jit_prover(data: CircuitData):
         proof.pis = np.asarray(pis)
         return proof
 
+    def dispatch_vals(vals: np.ndarray, pis: np.ndarray):
+        """Async: upload the COMPACTED value table (derived targets dropped)
+        + enqueue the prove; returns a handle for collect().  Dispatching
+        batch k+1 before collecting batch k pipelines upload/compute/readback
+        across batches."""
+        return core_vals(vals_to_pair(vals[keep_ids])), pis
+
+    def collect(handle) -> Proof:
+        buf, pis = handle
+        proof = _unpack_proof(np.asarray(buf), spec_cell["spec"])
+        proof.pis = np.asarray(pis)
+        return proof
+
     def run_vals(vals: np.ndarray, pis: np.ndarray) -> Proof:
         """vals: the tape's value table [T, B] u64 (Circuit._run_tape).
         Ships ~17x less data up than the expanded wire tensors and reads the
         proof back as ONE packed buffer."""
-        buf = np.asarray(core_vals(vals_to_pair(vals)))
-        proof = _unpack_proof(buf, spec_cell["spec"])
-        proof.pis = np.asarray(pis)
-        return proof
+        return collect(dispatch_vals(vals, pis))
 
     run.core = core
     run.run_vals = run_vals
+    run.dispatch_vals = dispatch_vals
+    run.collect = collect
     run.backend = bk
     return run
 

@@ -34,6 +34,8 @@ def _circuit_meta(circuit: Circuit) -> dict:
         "pi": circuit.pi,
         "k_coeffs": circuit.k_coeffs,
         "num_targets": circuit.num_targets,
+        "range_layouts": circuit.range_layouts,
+        "derived_tids": circuit.derived_tids,
     }
 
 
@@ -60,6 +62,9 @@ def save_circuit_data(data: CircuitData, path: str):
         "l0_lo": data.l0_lde[0], "l0_hi": data.l0_lde[1],
         "selectors": c.selectors, "constants": c.constants, "sigmas": c.sigmas,
         "row_gate_idx": c.row_gate_idx,
+        # wire-position maps: needed by the compact-upload prover path
+        "pos_rows": c.pos_rows, "pos_cols": c.pos_cols, "pos_tids": c.pos_tids,
+        "pi_tids": c.pi_tids,
     }
     for i, (llo, lhi) in enumerate(data.fixed_tree.levels):
         arrays[f"ftree_lo_{i}"] = llo
@@ -90,18 +95,20 @@ def load_circuit_data(path: str) -> CircuitData:
         constants=z["constants"],
         sigmas=z["sigmas"],
         selectors=z["selectors"],
-        pos_rows=np.zeros(0, np.int64),
-        pos_cols=np.zeros(0, np.int64),
-        pos_tids=np.zeros(0, np.int64),
+        pos_rows=z["pos_rows"] if "pos_rows" in z else np.zeros(0, np.int64),
+        pos_cols=z["pos_cols"] if "pos_cols" in z else np.zeros(0, np.int64),
+        pos_tids=z["pos_tids"] if "pos_tids" in z else np.zeros(0, np.int64),
         tape=[],
         read_map=np.zeros(0, np.int64),
         num_targets=meta["num_targets"],
         inputs={},
         pi=meta["pi"],
-        pi_tids=np.zeros(0, np.int64),
+        pi_tids=z["pi_tids"] if "pi_tids" in z else np.zeros(0, np.int64),
         constant_values={},
         k_coeffs=meta["k_coeffs"],
         gate_rows={int(k): np.asarray(v) for k, v in meta["gate_rows"].items()},
+        range_layouts=meta.get("range_layouts", {}),
+        derived_tids=meta.get("derived_tids", np.zeros(0, np.int64)),
     )
     return CircuitData(
         circuit=circuit,
