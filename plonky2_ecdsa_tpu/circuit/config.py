@@ -30,7 +30,9 @@ class FriConfig:
 
 @dataclass(frozen=True)
 class CircuitConfig:
-    num_wires: int = 136
+    # 128 (plonky2 uses 135+1): the widest gate (RangeCheck(29,8)) needs
+    # exactly 128, and every wire column costs LDE + Merkle-leaf-hash work
+    num_wires: int = 128
     num_routed_wires: int = 80
     # 16 constant columns (plonky2 uses 2): the ECDSA circuit embeds ~18k
     # fixed-base-table constants, which at 2/row cost ~9k rows and pushed the

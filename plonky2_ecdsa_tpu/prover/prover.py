@@ -332,7 +332,7 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
         g_ = gl.add(*gl.add(*routed, *bsg), *_bc(gamma, rshape, xp))
         fP = _chunk_prod(f, chunk)
         gP = _chunk_prod(g_, chunk)
-        quot = gl.mul(*fP, *gl.inverse(*gP))
+        quot = gl.mul(*fP, *_batch_inverse_axis1(gP, xp))
         Rlo, Rhi = [quot[0][:, 0]], [quot[1][:, 0]]
         for t in range(1, nchunks):
             nl, nh = gl.mul(Rlo[-1], Rhi[-1], quot[0][:, t], quot[1][:, t])
@@ -721,6 +721,40 @@ def _sum_pairs_axis(lo, hi, axis, xp):
     from .ntt import _sum_last
 
     return _sum_last((xp.moveaxis(lo, axis, -1), xp.moveaxis(hi, axis, -1)), xp)
+
+
+def _batch_inverse_axis1(pair, xp):
+    """Montgomery batch inversion along axis 1 of [B, k, n] pairs: one
+    Fermat ladder on the k-product instead of k ladders (the ladder is ~96
+    muls; at k=20 chunks this cuts the grand-product stage's mul count ~20x).
+    inv_i = prefix_i * suffix_i * (prod all)^-1."""
+    lo, hi = pair
+    k = lo.shape[1]
+    if k == 1:
+        return gl.inverse(lo, hi)
+    pre_lo = [xp.ones_like(lo[:, 0])]
+    pre_hi = [xp.zeros_like(hi[:, 0])]
+    for i in range(k - 1):
+        nl, nh = gl.mul(pre_lo[-1], pre_hi[-1], lo[:, i], hi[:, i])
+        pre_lo.append(nl)
+        pre_hi.append(nh)
+    suf_lo = [xp.ones_like(lo[:, 0])]
+    suf_hi = [xp.zeros_like(hi[:, 0])]
+    for i in range(k - 1, 0, -1):
+        nl, nh = gl.mul(suf_lo[-1], suf_hi[-1], lo[:, i], hi[:, i])
+        suf_lo.append(nl)
+        suf_hi.append(nh)
+    suf_lo.reverse()
+    suf_hi.reverse()
+    tot = gl.mul(pre_lo[-1], pre_hi[-1], lo[:, k - 1], hi[:, k - 1])
+    tinv = gl.inverse(*tot)
+    out_lo, out_hi = [], []
+    for i in range(k):
+        a = gl.mul(pre_lo[i], pre_hi[i], suf_lo[i], suf_hi[i])
+        o = gl.mul(*a, *tinv)
+        out_lo.append(o[0])
+        out_hi.append(o[1])
+    return xp.stack(out_lo, 1), xp.stack(out_hi, 1)
 
 
 def _chunk_prod(pair, chunk):
