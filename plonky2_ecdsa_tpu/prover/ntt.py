@@ -104,6 +104,12 @@ def _tab(key: str, make):
     return make()
 
 
+def _use_pallas() -> bool:
+    from ..hash.poseidon import _use_pallas as f
+
+    return f()
+
+
 def _stage_tables_dev(n, inverse):
     import jax.numpy as jnp
 
@@ -120,14 +126,20 @@ def host_tables(sizes) -> dict:
         if n <= 1:
             continue
         if n >= _FOUR_STEP_MIN:
+            from . import ntt_pallas
+
             n1, n2 = _split2(n)
             for nt in {n1, n2}:
                 out[f"rev:{nt}"] = _bitrev(nt)
                 for inverse in (False, True):
                     out[f"tws:{nt}:{int(inverse)}"] = tuple(_stage_rows(nt, inverse))
+                    out[f"ptw:{nt}:{int(inverse)}"] = ntt_pallas.stage_tables(nt, inverse)
             for inverse in (False, True):
                 out[f"fsT:{n}:{int(inverse)}"] = _four_step_T(n, inverse)
                 out[f"coset:{n}:{int(inverse)}"] = gl.from_u64(_coset_powers(n, inverse))
+            ninv = pow(n, P - 2, P)
+            Ti = _four_step_T(n, True)
+            out[f"fsTs:{n}"] = gl.mul(Ti[0], Ti[1], *gl.from_int(ninv))
             continue
         out[f"rev:{n}"] = _bitrev(n)
         for inverse in (False, True):
@@ -271,6 +283,15 @@ def _coset_powers(n: int, inverse: bool):
     return out
 
 
+def _pallas_fourstep_ok(n: int, xp) -> bool:
+    if xp is np or not _use_pallas():
+        return False
+    from . import ntt_pallas
+
+    n1, n2 = _split2(n)
+    return ntt_pallas._supported(n1, n2) and ntt_pallas._supported(n2, n1)
+
+
 def ntt(lo, hi, inverse: bool = False):
     """Forward/inverse NTT over the last axis (natural order in and out)."""
     xp = gl._xp(lo, hi)
@@ -279,6 +300,10 @@ def ntt(lo, hi, inverse: bool = False):
     if n == 1:
         return lo, hi
     if n >= _FOUR_STEP_MIN:
+        if _pallas_fourstep_ok(n, xp):
+            from . import ntt_pallas
+
+            return ntt_pallas.four_step(lo, hi, n, inverse)  # 1/n folded in
         lo, hi = _ntt_four_step(lo, hi, inverse, xp)
         if inverse:
             ninv = pow(n, P - 2, P)
@@ -324,20 +349,33 @@ def intt(lo, hi):
 def coset_lde(lo, hi, rate_bits: int):
     """Values on H (order n, natural order) -> values on the coset
     COSET_SHIFT * K (order n * 2^rate_bits, natural order)."""
-    xp = gl._xp(lo, hi)
     n = lo.shape[-1]
     clo, chi = intt(lo, hi)
-    N = n << rate_bits
-    pad = lead_pad(clo.shape[:-1], N - n, xp)
-    clo = xp.concatenate([clo, pad], axis=-1)
-    chi = xp.concatenate([chi, pad], axis=-1)
-    return coset_ntt_from_coeffs(clo, chi)
+    return coset_ntt_from_coeffs(clo, chi, n << rate_bits)
 
 
-def coset_ntt_from_coeffs(clo, chi):
-    """Coeffs (len N) -> evals on shift * K_N."""
+def coset_ntt_from_coeffs(clo, chi, N: int | None = None):
+    """Coeffs -> evals on shift * K_N.
+
+    Coefficients may be COMPACT: with N > clo.shape[-1] the high coefficients
+    are implicit zeros (the LDE fast path — the Pallas kernel synthesizes the
+    zero rows in VMEM instead of reading padding from HBM)."""
     xp = gl._xp(clo, chi)
-    N = clo.shape[-1]
+    k = clo.shape[-1]
+    N = k if N is None else N
+    if N >= _FOUR_STEP_MIN and _pallas_fourstep_ok(N, xp):
+        import jax.numpy as jnp
+
+        from . import ntt_pallas
+
+        plo, phi = _tab(f"coset:{N}:0", lambda: tuple(
+            jnp.asarray(a) for a in gl.from_u64(_coset_powers(N, False))))
+        pre = (plo[:k], phi[:k])
+        return ntt_pallas.four_step(clo, chi, N, False, pre=pre)
+    if N > k:
+        pad = lead_pad(clo.shape[:-1], N - k, xp)
+        clo = xp.concatenate([clo, pad], axis=-1)
+        chi = xp.concatenate([chi, pad], axis=-1)
     if xp is np:
         plo, phi = gl.from_u64(_coset_powers(N, False))
     else:
@@ -353,6 +391,14 @@ def coset_intt(lo, hi):
     """Evals on shift * K_N -> coefficients."""
     xp = gl._xp(lo, hi)
     N = lo.shape[-1]
+    if N >= _FOUR_STEP_MIN and _pallas_fourstep_ok(N, xp):
+        import jax.numpy as jnp
+
+        from . import ntt_pallas
+
+        post = _tab(f"coset:{N}:1", lambda: tuple(
+            jnp.asarray(a) for a in gl.from_u64(_coset_powers(N, True))))
+        return ntt_pallas.four_step(lo, hi, N, True, post=post)
     clo, chi = intt(lo, hi)
     if xp is np:
         plo, phi = gl.from_u64(_coset_powers(N, True))

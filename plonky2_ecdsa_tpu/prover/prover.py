@@ -156,9 +156,7 @@ class Backend:
 def _lde_commit(vals_pair, n, N, cap_height, xp):
     """values on H [B, k, n] -> (coeffs, lde, tree)."""
     clo, chi = ntt.intt(*vals_pair)
-    pad = xp.zeros(clo.shape[:-1] + (N - n,), xp.uint32)
-    lde = ntt.coset_ntt_from_coeffs(xp.concatenate([clo, pad], -1),
-                                    xp.concatenate([chi, pad], -1))
+    lde = ntt.coset_ntt_from_coeffs(clo, chi, N)
     tree = merkle.build_merkle_tree_from_polys(lde, cap_height, xp)
     return (clo, chi), lde, tree
 
@@ -185,9 +183,7 @@ def _lde_commit_wires_stream(vals_pair, n, N, cap_height, xp):
 
     def group_lde(glo, ghi):
         clo, chi = ntt.intt(glo, ghi)
-        pad = jnp.zeros(clo.shape[:-1] + (N - n,), jnp.uint32)
-        lde = ntt.coset_ntt_from_coeffs(jnp.concatenate([clo, pad], -1),
-                                        jnp.concatenate([chi, pad], -1))
+        lde = ntt.coset_ntt_from_coeffs(clo, chi, N)
         return (clo, chi), lde
 
     coeffs_lo = jnp.zeros((B, k, n), jnp.uint32)
@@ -301,10 +297,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     if stop_after == 'commit':
         return wires_tree.cap
 
-    pad = xp.zeros((B,) + pi_pair[0].shape[1:-1] + (N - n,), xp.uint32)
     pi_clo, pi_chi = ntt.intt(*pi_pair)
-    pi_lde = ntt.coset_ntt_from_coeffs(xp.concatenate([pi_clo, pad], -1),
-                                       xp.concatenate([pi_chi, pad], -1))
+    pi_lde = ntt.coset_ntt_from_coeffs(pi_clo, pi_chi, N)
 
     # ---- transcript --------------------------------------------------------
     ch = Challenger(xp, (B,))
@@ -359,9 +353,7 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     rate = N // n
     chunks_lo = qc[0].reshape(B, C * rate, n)
     chunks_hi = qc[1].reshape(B, C * rate, n)
-    qpad = xp.zeros((B, C * rate, N - n), xp.uint32)
-    quot_lde = ntt.coset_ntt_from_coeffs(xp.concatenate([chunks_lo, qpad], -1),
-                                         xp.concatenate([chunks_hi, qpad], -1))
+    quot_lde = ntt.coset_ntt_from_coeffs(chunks_lo, chunks_hi, N)
     quot_tree = merkle.build_merkle_tree_from_polys(quot_lde, caph, xp)
     ch.observe_cap(quot_tree.cap)
     if stop_after == 'quotient':

@@ -69,6 +69,59 @@ def main():
         print(f"poseidon pallas [12, 2^17]: {dt*1e3:.2f} ms "
               f"-> {(1 << 17) / dt / 1e6:.1f} Mperm/s")
 
+    # --- Pallas fused NTT parity (sub-kernel + integrated four-step) --------
+    from plonky2_ecdsa_tpu.prover import ntt, ntt_pallas
+
+    for n_t, L, lead in [(128, 128, 4), (256, 256, 2)]:
+        v = rng.integers(0, gl.P, (lead, n_t, L), dtype=np.uint64)
+        lo, hi = gl.from_u64(v)
+        want = ntt._ntt_axis2(lo, hi, n_t, False, np)
+        tabs = tuple(jnp.asarray(a) for a in ntt_pallas.stage_tables(n_t, False))
+        got = ntt_pallas.sub_ntt(jnp.asarray(lo), jnp.asarray(hi), n_t, tabs,
+                                 interpret=not on_tpu)
+        ok = (np.array_equal(np.asarray(got[0]), want[0])
+              and np.array_equal(np.asarray(got[1]), want[1]))
+        print(f"ntt pallas sub_ntt parity n_t={n_t} L={L}: {'OK' if ok else 'FAIL'}")
+        assert ok
+
+    # full-NTT parity + coset paths through the integrated entry points
+    if on_tpu:
+        for n in (1 << 14, 1 << 16):
+            v = rng.integers(0, gl.P, (2, n), dtype=np.uint64)
+            lo, hi = gl.from_u64(v)
+            for tag, host_fn, dev_fn in [
+                ("ntt", lambda a, b: ntt.ntt(a, b), lambda a, b: ntt.ntt(a, b)),
+                ("intt", lambda a, b: ntt.intt(a, b), lambda a, b: ntt.intt(a, b)),
+                ("coset_intt", lambda a, b: ntt.coset_intt(a, b),
+                 lambda a, b: ntt.coset_intt(a, b)),
+                ("lde4x", lambda a, b: ntt.coset_ntt_from_coeffs(a[..., : n >> 2], b[..., : n >> 2], n),
+                 lambda a, b: ntt.coset_ntt_from_coeffs(a[..., : n >> 2], b[..., : n >> 2], n)),
+            ]:
+                want = host_fn(lo, hi)
+                got = jax.jit(dev_fn)(jnp.asarray(lo), jnp.asarray(hi))
+                ok = (np.array_equal(np.asarray(got[0]), want[0])
+                      and np.array_equal(np.asarray(got[1]), want[1]))
+                print(f"device {tag} parity n=2^{n.bit_length()-1}: "
+                      f"{'OK' if ok else 'FAIL'}")
+                assert ok
+
+        # throughput at prover shapes: [B*k, n] with n = 2^14 and LDE 2^16
+        for B, k, n in [(32, 8, 1 << 14), (32, 8, 1 << 16)]:
+            v = rng.integers(0, gl.P, (B * k, n), dtype=np.uint64)
+            lo, hi = jnp.asarray(gl.from_u64(v)[0]), jnp.asarray(gl.from_u64(v)[1])
+            f = jax.jit(lambda a, b: ntt.ntt(a, b))
+            o = f(lo, hi)
+            np.asarray(o[0])
+            reps = 10
+            t0 = time.time()
+            for _ in range(reps):
+                o = f(*o)
+            np.asarray(o[0])
+            dt = (time.time() - t0) / reps
+            gb = B * k * n * 8 / 1e9
+            print(f"ntt [B*k={B*k}, n=2^{n.bit_length()-1}]: {dt*1e3:.1f} ms "
+                  f"({gb/dt:.0f} GB/s effective)")
+
 
 if __name__ == "__main__":
     main()

@@ -281,3 +281,61 @@ def test_streaming_wire_commit_matches_plain(rng):
         assert np.array_equal(np.asarray(lde[1]), ref_lde[1])
         assert np.array_equal(np.asarray(tree.cap[0]), ref_tree.cap[0])
         assert np.array_equal(np.asarray(tree.cap[1]), ref_tree.cap[1])
+
+
+def test_ntt_pallas_sub_ntt_interpret(rng):
+    """Fused sub-NTT Mosaic kernel (in-VMEM bitrev + all stages) == numpy
+    sub-NTT (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.prover import ntt_pallas
+
+    for n_t, L in [(16, 128), (128, 256)]:
+        vals = rng.integers(0, P, size=(2, n_t, L), dtype=np.uint64) % np.uint64(P)
+        pair = gl.from_u64(vals)
+        for inverse in (False, True):
+            want = ntt._ntt_axis2(pair[0], pair[1], n_t, inverse, np)
+            tabs = tuple(jnp.asarray(a) for a in ntt_pallas.stage_tables(n_t, inverse))
+            got = ntt_pallas.sub_ntt(jnp.asarray(pair[0]), jnp.asarray(pair[1]),
+                                     n_t, tabs, interpret=True)
+            assert np.array_equal(np.asarray(got[0]), want[0]), (n_t, L, inverse)
+            assert np.array_equal(np.asarray(got[1]), want[1]), (n_t, L, inverse)
+
+
+def test_ntt_pallas_four_step_interpret(rng):
+    """Full fused four-step (two kernels + transpose) == numpy ntt, both
+    directions, including the folded 1/n and the compact-coefficient coset
+    LDE path (zero rows synthesized in VMEM)."""
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.prover import ntt_pallas
+
+    n = 1 << 14
+    vals = rng.integers(0, P, size=(2, n), dtype=np.uint64) % np.uint64(P)
+    lo, hi = gl.from_u64(vals)
+    for inverse in (False, True):
+        want = ntt.ntt(lo, hi, inverse=inverse)
+        got = ntt_pallas.four_step(jnp.asarray(lo), jnp.asarray(hi), n,
+                                   inverse, interpret=True)
+        assert np.array_equal(np.asarray(got[0]), want[0]), inverse
+        assert np.array_equal(np.asarray(got[1]), want[1]), inverse
+
+    # compact coset LDE: k = n/4 coefficients -> N = n evals
+    k = n >> 2
+    clo, chi = lo[..., :k], hi[..., :k]
+    want = ntt.coset_ntt_from_coeffs(clo, chi, n)
+    pw = gl.from_u64(ntt._coset_powers(n, False))
+    got = ntt_pallas.four_step(jnp.asarray(clo), jnp.asarray(chi), n, False,
+                               pre=(jnp.asarray(pw[0][:k]), jnp.asarray(pw[1][:k])),
+                               interpret=True)
+    assert np.array_equal(np.asarray(got[0]), want[0])
+    assert np.array_equal(np.asarray(got[1]), want[1])
+
+    # coset INTT with the folded output scale
+    want = ntt.coset_intt(lo, hi)
+    pwi = gl.from_u64(ntt._coset_powers(n, True))
+    got = ntt_pallas.four_step(jnp.asarray(lo), jnp.asarray(hi), n, True,
+                               post=(jnp.asarray(pwi[0]), jnp.asarray(pwi[1])),
+                               interpret=True)
+    assert np.array_equal(np.asarray(got[0]), want[0])
+    assert np.array_equal(np.asarray(got[1]), want[1])
