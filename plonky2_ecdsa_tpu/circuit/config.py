@@ -55,6 +55,18 @@ class CircuitConfig:
         return CircuitConfig(num_wires=234, num_routed_wires=176)
 
     @staticmethod
+    def dryrun_config() -> "CircuitConfig":
+        """Compile-tractable config for the multichip correctness dry run:
+        minimal FRI query count, no PoW grinding, cap height 1.  This is a
+        CORRECTNESS configuration (the dryrun checks sharding + transcript
+        round-trip on CPU hosts), not a security parameterization."""
+        return CircuitConfig(
+            num_challenges=1,
+            fri=FriConfig(rate_bits=2, cap_height=1, num_query_rounds=4,
+                          proof_of_work_bits=0),
+        )
+
+    @staticmethod
     def test_config() -> "CircuitConfig":
         """Small fast config for CPU unit tests (lower FRI query count)."""
         return CircuitConfig(

@@ -48,6 +48,107 @@ def _xp(*arrays):
     return np
 
 
+# ---------------------------------------------------------------------------
+# u64 fast path (CPU backends)
+#
+# TPUs have no 64-bit integer lanes, so the canonical device representation is
+# the u32 pair.  On CPU backends (host witness gen / verifier under numpy, and
+# the CI / dryrun prover jitted on XLA:CPU) native uint64 IS available, and
+# using it cuts the primitive count of every field op 3-6x — which cuts both
+# XLA compile time (the prover module is O(100k) primitives) and CPU runtime.
+# The public API is unchanged: (lo, hi) u32 pairs in, (lo, hi) u32 pairs out;
+# only the interior arithmetic switches.  Enable for JAX via enable_jax_u64()
+# (requires jax_enable_x64; called from jaxcfg on CPU backends).
+# ---------------------------------------------------------------------------
+
+_JAX_U64 = False
+_FORCE_U32 = None  # lazily read PLONKY2_TPU_FORCE_U32 (test/debug escape hatch)
+
+
+def enable_jax_u64(on: bool = True):
+    """Opt the jax.numpy path into u64 interior arithmetic (CPU backends).
+
+    Caller must ensure jax.config.jax_enable_x64 is True first."""
+    global _JAX_U64
+    _JAX_U64 = on
+
+
+def _use_u64(xp) -> bool:
+    global _FORCE_U32
+    if _FORCE_U32 is None:
+        import os
+
+        _FORCE_U32 = os.environ.get("PLONKY2_TPU_FORCE_U32") == "1"
+    if _FORCE_U32:
+        return False
+    return xp is np or _JAX_U64
+
+
+_M32 = np.uint64(0xFFFFFFFF)
+_P64 = np.uint64(P)
+_EPS64 = np.uint64(0xFFFFFFFF)
+
+
+def _join64(xp, lo, hi):
+    return lo.astype(xp.uint64) | (hi.astype(xp.uint64) << np.uint64(32))
+
+
+def _split64(xp, v):
+    return (v & _M32).astype(xp.uint32), (v >> np.uint64(32)).astype(xp.uint32)
+
+
+def _add_u64(xp, a, b):
+    """(a + b) mod p on u64 values in [0, p)."""
+    s = a + b
+    c = (s < a).astype(xp.uint64)
+    s = s + c * _EPS64  # cannot re-wrap: s <= 2p-2-2^64+eps < 2^64-eps
+    ge = (s >= _P64).astype(xp.uint64)
+    return s - ge * _P64
+
+
+def _sub_u64(xp, a, b):
+    d = a - b
+    brw = (a < b).astype(xp.uint64)
+    return d - brw * _EPS64
+
+
+def _mulhilo_u64(xp, a, b):
+    """Full 64x64 -> (hi, lo) u64 product."""
+    al = a & _M32
+    ah = a >> np.uint64(32)
+    bl = b & _M32
+    bh = b >> np.uint64(32)
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    mid = lh + (ll >> np.uint64(32))  # <= 2^64 - 2^33 + ... no wrap
+    mid2 = hl + (mid & _M32)          # no wrap
+    lo = (ll & _M32) | (mid2 << np.uint64(32))
+    hi = hh + (mid >> np.uint64(32)) + (mid2 >> np.uint64(32))
+    return hi, lo
+
+
+def _reduce128_u64(xp, hi, lo):
+    """(hi * 2^64 + lo) mod p via 2^64 ≡ 2^32 - 1, 2^96 ≡ -1."""
+    r2 = hi & _M32
+    r3 = hi >> np.uint64(32)
+    t = lo - r3
+    brw = (lo < r3).astype(xp.uint64)
+    t = t - brw * _EPS64
+    u = (r2 << np.uint64(32)) - r2
+    s = t + u
+    c = (s < t).astype(xp.uint64)
+    s = s + c * _EPS64
+    ge = (s >= _P64).astype(xp.uint64)
+    return s - ge * _P64
+
+
+def _mul_u64(xp, a, b):
+    hi, lo = _mulhilo_u64(xp, a, b)
+    return _reduce128_u64(xp, hi, lo)
+
+
 def _u32(xp, x):
     return xp.asarray(x, dtype=xp.uint32)
 
@@ -127,6 +228,11 @@ def mul64(alo, ahi, blo, bhi):
 
 def canonicalize(lo, hi):
     """Subtract p once if value >= p (input < 2^64)."""
+    xp = _xp(lo, hi)
+    if _use_u64(xp):
+        v = _join64(xp, lo, hi)
+        ge = (v >= _P64).astype(xp.uint64)
+        return _split64(xp, v - ge * _P64)
     ge = geq64(lo, hi, P_LO, P_HI)
     slo, shi, _ = sub64(lo, hi, ge * P_LO, ge * P_HI)
     return slo, shi
@@ -134,6 +240,10 @@ def canonicalize(lo, hi):
 
 def add(alo, ahi, blo, bhi):
     """(a + b) mod p for canonical a, b."""
+    xp = _xp(alo, ahi, blo, bhi)
+    if _use_u64(xp):
+        return _split64(xp, _add_u64(xp, _join64(xp, alo, ahi),
+                                     _join64(xp, blo, bhi)))
     lo, hi, c = add64(alo, ahi, blo, bhi)
     # On carry the wrapped u64 is off by -2^64 ≡ -(2^32-1); add it back.
     lo, hi, _ = add64(lo, hi, c * EPS, c * np.uint32(0))
@@ -142,6 +252,10 @@ def add(alo, ahi, blo, bhi):
 
 def sub(alo, ahi, blo, bhi):
     """(a - b) mod p for canonical a, b."""
+    xp = _xp(alo, ahi, blo, bhi)
+    if _use_u64(xp):
+        return _split64(xp, _sub_u64(xp, _join64(xp, alo, ahi),
+                                     _join64(xp, blo, bhi)))
     lo, hi, brw = sub64(alo, ahi, blo, bhi)
     # On borrow the wrapped u64 is off by +2^64 ≡ +(2^32-1); take it off.
     lo, hi, _ = sub64(lo, hi, brw * EPS, brw * np.uint32(0))
@@ -149,6 +263,11 @@ def sub(alo, ahi, blo, bhi):
 
 
 def neg(alo, ahi):
+    xp = _xp(alo, ahi)
+    if _use_u64(xp):
+        v = _join64(xp, alo, ahi)
+        nz = (v != 0).astype(xp.uint64)
+        return _split64(xp, nz * _P64 - v)
     nz = ((alo != 0) | (ahi != 0)).astype(np.uint32)
     lo, hi, _ = sub64(nz * P_LO, nz * P_HI, alo, ahi)
     return lo, hi
@@ -170,11 +289,23 @@ def reduce128(r0, r1, r2, r3):
 
 def mul(alo, ahi, blo, bhi):
     """(a * b) mod p, canonical."""
+    xp = _xp(alo, ahi, blo, bhi)
+    if _use_u64(xp):
+        return _split64(xp, _mul_u64(xp, _join64(xp, alo, ahi),
+                                     _join64(xp, blo, bhi)))
     return reduce128(*mul64(alo, ahi, blo, bhi))
 
 
 def mul_small(alo, ahi, c):
     """a * c mod p with c a u32 scalar constant (cheap 96-bit fold)."""
+    xp = _xp(alo, ahi)
+    if _use_u64(xp):
+        v = _join64(xp, alo, ahi)
+        c64 = np.uint64(int(c))
+        lo = v * c64
+        # hi word of the product: (v >> 32) * c spills at most 32 bits
+        hi = ((v >> np.uint64(32)) * c64 + ((v & _M32) * c64 >> np.uint64(32))) >> np.uint64(32)
+        return _split64(xp, _reduce128_u64(xp, hi, lo))
     c = np.uint32(c)
     p0l, p0h = mul32(alo, c)
     p1l, p1h = mul32(ahi, c)

@@ -88,6 +88,39 @@ def _sbox(x):
 
 
 def _mds_stacked(lo, hi, xp):
+    """out_i = sum_d circ[d] * s_{(i+d) mod 12} (+ diag on lane 0)."""
+    if gl._use_u64(xp):
+        return _mds_stacked_u64(lo, hi, xp)
+    return _mds_stacked_u32(lo, hi, xp)
+
+
+def _mds_stacked_u64(lo, hi, xp):
+    """u64 CPU path: accumulate circ[d] * (32-bit halves) in two u64 lanes.
+
+    qlo = sum c*v_lo <= 264*(2^32-1) < 2^41 and likewise qhi, so both sums fit
+    u64 with no carries; one 128-bit fold recombines them."""
+    v = gl._join64(xp, lo, hi)
+    vl = v & gl._M32
+    vh = v >> np.uint64(32)
+    qlo = qhi = None
+    for d, c in enumerate(MDS_CIRC):
+        c64 = np.uint64(c)
+        tl = (vl if d == 0 else xp.roll(vl, -d, axis=0)) * c64
+        th = (vh if d == 0 else xp.roll(vh, -d, axis=0)) * c64
+        qlo = tl if qlo is None else qlo + tl
+        qhi = th if qhi is None else qhi + th
+    d0 = np.uint64(MDS_DIAG0)
+    qlo = xp.concatenate([(qlo[0] + vl[0] * d0)[None], qlo[1:]], axis=0)
+    qhi = xp.concatenate([(qhi[0] + vh[0] * d0)[None], qhi[1:]], axis=0)
+    # value = qlo + 2^32 qhi (both < 2^41): lo64 wraps, top < 2^9
+    lo64 = qlo + (qhi << np.uint64(32))
+    top = (((qlo >> np.uint64(32)) + (qhi & gl._M32)) >> np.uint64(32)) + (
+        qhi >> np.uint64(32))
+    out = gl._reduce128_u64(xp, top, lo64)
+    return gl._split64(xp, out)
+
+
+def _mds_stacked_u32(lo, hi, xp):
     """out_i = sum_d circ[d] * s_{(i+d) mod 12} (+ diag on lane 0).
 
     Lazy accumulation: the circulant constants are <= 41 (6 bits) and sum to

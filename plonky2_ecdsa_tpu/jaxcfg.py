@@ -20,9 +20,12 @@ _DONE = False
 
 def setup_cache():
     global _DONE
-    if _DONE or os.environ.get("PLONKY2_TPU_NO_CACHE") == "1":
+    if _DONE:
         return
     _DONE = True
+    setup_cpu_fast_field()
+    if os.environ.get("PLONKY2_TPU_NO_CACHE") == "1":
+        return
     import jax
 
     path = os.environ.get(
@@ -33,3 +36,21 @@ def setup_cache():
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def setup_cpu_fast_field():
+    """On CPU backends, switch Goldilocks interior arithmetic to native u64
+    (x64 mode): 3-6x fewer primitives per field op, which cuts both the
+    prover's XLA compile time and its CPU runtime.  No-op on TPU (no 64-bit
+    integer lanes there; the u32-pair path is the device representation)."""
+    import os
+
+    if os.environ.get("PLONKY2_TPU_FORCE_U32") == "1":
+        return
+    import jax
+
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+        from .fields import goldilocks as gl
+
+        gl.enable_jax_u64(True)

@@ -44,51 +44,57 @@ def prover_mesh(n_devices: int | None = None, col_parallel: int = 2):
 
 
 def make_mesh_prover(data: CircuitData, mesh):
-    """Jitted prover with witness batch sharded over 'dp' and the wire-column
-    axis over 'col'.  Returns run(W, pis) -> Proof (host numpy out).
+    """Jitted prover with the witness batch sharded over 'dp' and the
+    polynomial-column/LDE-domain axes over 'col'.  Returns
+    run(W, pis) -> Proof (host numpy out).
 
-    The batch size must be a multiple of the 'dp' axis size."""
+    Uses shard_map, NOT pjit/GSPMD auto-partitioning: the per-shard module is
+    the same single-device prover module (so jit compile cost does not grow
+    with the mesh), the 'dp' axis is communication-free batch parallelism,
+    and the 'col' axis splits the INTT/LDE column work and the pointwise
+    domain work (Merkle leaf sponge, quotient eval, FRI reduced poly) inside
+    prove_core with explicit tiled all_gathers at stage boundaries (see
+    prover._lde_commit_sharded).  The batch size must be a multiple of the
+    'dp' axis size."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
 
     _register_pytrees()
     bk = Backend(data, jnp)
-
-    w_sh = NamedSharding(mesh, Pspec("dp", "col", None))   # [B, wires, n]
-    pi_sh = NamedSharding(mesh, Pspec("dp", None, None))   # [B, K, n]
-    pis_sh = NamedSharding(mesh, Pspec("dp", None))        # [B, npis]
+    ncol = mesh.shape["col"]
+    shard = ("col", ncol) if ncol > 1 else None
+    dp = Pspec("dp")
     # Same platform split as make_jit_prover: closure literals on CPU (fast
     # XLA:CPU compiles, no payload limit), jit arguments on device backends.
     use_params = mesh.devices.flat[0].platform != "cpu"
 
     if use_params:
         tabs = prover_tables(data, jnp)
-        repl = NamedSharding(mesh, Pspec())  # fixed data + tables replicated
-        #                                      (prefix shardings over pytrees)
 
         def _core(b, t, w, p, pv):
             tok = ntt._DEVICE_TABLES.set(t)
             try:
-                # stream_commit=False: the fori_loop streaming commit slices
-                # the col-sharded wires axis, which GSPMD would serialize
-                return prove_core(data, b, w, p, pv, jnp, stream_commit=False)
+                return prove_core(data, b, w, p, pv, jnp,
+                                  stream_commit=False, shard=shard)
             finally:
                 ntt._DEVICE_TABLES.reset(tok)
 
-        jcore = jax.jit(
-            _core,
-            in_shardings=(repl, repl, (w_sh, w_sh), (pi_sh, pi_sh), (pis_sh, pis_sh)),
-        )
+        smapped = shard_map(
+            _core, mesh=mesh,
+            in_specs=(Pspec(), Pspec(), dp, dp, dp),
+            out_specs=dp, check_vma=False)
+        jcore = jax.jit(smapped)
 
         def core(w, p, pv):
             return jcore(bk, tabs, w, p, pv)
     else:
-        core = jax.jit(
+        smapped = shard_map(
             lambda w, p, pv: prove_core(data, bk, w, p, pv, jnp,
-                                        stream_commit=False),
-            in_shardings=((w_sh, w_sh), (pi_sh, pi_sh), (pis_sh, pis_sh)),
-        )
+                                        stream_commit=False, shard=shard),
+            mesh=mesh, in_specs=(dp, dp, dp), out_specs=dp, check_vma=False)
+        core = jax.jit(smapped)
 
     def run(W: np.ndarray, pis: np.ndarray) -> Proof:
         dp = mesh.shape["dp"]

@@ -47,13 +47,74 @@ class Challenger:
         """cap: (lo, hi) arrays [..., C, 4]."""
         lo, hi = cap
         C = lo.shape[-2]
-        for i in range(C):
-            for j in range(4):
-                self.observe((lo[..., i, j], hi[..., i, j]))
+        self.observe_array((lo.reshape(lo.shape[:-2] + (C * 4,)),
+                            hi.reshape(hi.shape[:-2] + (C * 4,))))
 
     def observe_ext(self, ext):
         self.observe(ext[0])
         self.observe(ext[1])
+
+    def observe_ext_array(self, ext):
+        """ext pair of [..., K] arrays; same transcript as K observe_ext
+        calls (c0[i], c1[i] interleaved along the last axis)."""
+        xp = self.xp
+        (l0, h0), (l1, h1) = ext
+        K = l0.shape[-1]
+        lo = xp.stack([l0, l1], -1).reshape(l0.shape[:-1] + (2 * K,))
+        hi = xp.stack([h0, h1], -1).reshape(h0.shape[:-1] + (2 * K,))
+        self.observe_array((lo, hi))
+
+    def observe_array(self, pair):
+        """pair: (lo, hi) arrays of shape [..., K], absorbed in order along
+        the last axis.  Bit-identical transcript to K observe() calls, but
+        the full-rate chunks run as ONE lax.scan — a whole openings vector
+        costs a single traced permutation body instead of K/8 inlined ones
+        (the dominant contributor to prover jit compile time)."""
+        lo, hi = pair
+        K = lo.shape[-1]
+        R = poseidon.RATE
+        tgt = self.batch_shape + (K,)
+        lo = self.xp.broadcast_to(self.xp.asarray(lo, dtype=self.xp.uint32), tgt)
+        hi = self.xp.broadcast_to(self.xp.asarray(hi, dtype=self.xp.uint32), tgt)
+        if self.xp is np or K < 2 * R:
+            for i in range(K):
+                self.observe((lo[..., i], hi[..., i]))
+            return
+        import jax
+
+        xp = self.xp
+        self.outputs = []
+        pos = 0
+        # complete any pending partial chunk element-wise
+        j = len(self.inputs)
+        if j:
+            head = min(R - j, K)
+            for i in range(head):
+                self.observe((lo[..., i], hi[..., i]))
+            pos = head
+        nfull = (K - pos) // R
+        if nfull:
+            # [nfull, R, *batch] chunks, scanned through the duplex
+            clo = xp.moveaxis(lo[..., pos : pos + nfull * R], -1, 0)
+            chi = xp.moveaxis(hi[..., pos : pos + nfull * R], -1, 0)
+            clo = clo.reshape((nfull, R) + self.batch_shape)
+            chi = chi.reshape((nfull, R) + self.batch_shape)
+            slo = xp.stack([s[0] for s in self.state], 0)
+            shi = xp.stack([s[1] for s in self.state], 0)
+
+            def body(state, chunk):
+                slo, shi = state
+                slo = xp.concatenate([chunk[0], slo[R:]], axis=0)
+                shi = xp.concatenate([chunk[1], shi[R:]], axis=0)
+                return poseidon.permute_stacked(slo, shi), None
+
+            (slo, shi), _ = jax.lax.scan(body, (slo, shi), (clo, chi))
+            self.state = [(slo[i], shi[i]) for i in range(poseidon.WIDTH)]
+            self.inputs = []
+            self.outputs = list(self.state[:R])
+            pos += nfull * R
+        for i in range(pos, K):
+            self.observe((lo[..., i], hi[..., i]))
 
     def _duplex(self):
         for i, p in enumerate(self.inputs):

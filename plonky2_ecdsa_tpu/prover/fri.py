@@ -149,9 +149,7 @@ def fri_prove(challenger, F, N: int, cfg, xp=np) -> FriProof:
         clo, chi = gl.mul(clo, chi, *spl)
         comp.append((clo[..., :nfinal], chi[..., :nfinal]))
     final_coeffs = (comp[0], comp[1])
-    for k in range(nfinal):
-        challenger.observe((final_coeffs[0][0][..., k], final_coeffs[0][1][..., k]))
-        challenger.observe((final_coeffs[1][0][..., k], final_coeffs[1][1][..., k]))
+    challenger.observe_ext_array(final_coeffs)
 
     # proof-of-work grinding before query sampling (plonky2 fri/prover.rs
     # grind step; raises the cost of transcript re-rolls by 2^pow_bits)

@@ -161,6 +161,56 @@ def _lde_commit(vals_pair, n, N, cap_height, xp):
     return (clo, chi), lde, tree
 
 
+# ---------------------------------------------------------------------------
+# shard_map column/domain parallelism (parallel/mesh.py 'col' axis)
+#
+# Under shard_map the GSPMD partitioner is bypassed (per-shard module == the
+# single-device module, so jit compile stays tractable) and the collectives
+# are explicit: the polynomial-column axis shards for INTT/LDE work, the LDE
+# domain axis shards for the pointwise stages (Merkle leaf sponge, quotient
+# constraint eval, FRI reduced poly), with tiled all_gathers over the 'col'
+# axis (ICI) at stage boundaries.  `shard` is (axis_name, n_shards) or None.
+# ---------------------------------------------------------------------------
+
+def _shard_slice(pair, axis_name, ns, dim):
+    """Local [.., k/ns, ..] slice of a (lo, hi) pair along `dim`."""
+    import jax
+
+    i = jax.lax.axis_index(axis_name)
+    k = pair[0].shape[dim] // ns
+    return (jax.lax.dynamic_slice_in_dim(pair[0], i * k, k, dim),
+            jax.lax.dynamic_slice_in_dim(pair[1], i * k, k, dim))
+
+
+def _shard_gather(pair, axis_name, dim):
+    import jax
+
+    return (jax.lax.all_gather(pair[0], axis_name, axis=dim, tiled=True),
+            jax.lax.all_gather(pair[1], axis_name, axis=dim, tiled=True))
+
+
+def _lde_commit_sharded(vals_pair, n, N, cap_height, xp, shard):
+    """_lde_commit with the column axis sharded for INTT/LDE and the domain
+    axis sharded for leaf hashing; bit-identical output on every shard."""
+    ax, ns = shard
+    k = vals_pair[0].shape[1]
+    split_cols = k % ns == 0
+    loc = _shard_slice(vals_pair, ax, ns, 1) if split_cols else vals_pair
+    clo, chi = ntt.intt(*loc)
+    lde_loc = ntt.coset_ntt_from_coeffs(clo, chi, N)
+    if split_cols:
+        coeffs = _shard_gather((clo, chi), ax, 1)
+        lde = _shard_gather(lde_loc, ax, 1)
+    else:
+        coeffs, lde = (clo, chi), lde_loc
+    # leaf digests: each shard hashes its N/ns domain slice of ALL columns
+    dslice = _shard_slice(lde, ax, ns, 2)
+    dlo, dhi = merkle.leaf_digests_from_polys(dslice[0], dslice[1], xp)
+    dlo, dhi = _shard_gather((dlo, dhi), ax, -2)
+    tree = merkle._build_tree_from_digests(dlo, dhi, cap_height, xp)
+    return coeffs, lde, tree
+
+
 def _lde_commit_wires_stream(vals_pair, n, N, cap_height, xp):
     """Streaming wires commitment: identical output to _lde_commit, but the
     INTT/LDE runs in rate-8 wire groups inside one fori_loop that absorbs
@@ -275,13 +325,15 @@ def prove(data: CircuitData, W: np.ndarray, pis: np.ndarray, xp=np,
 
 def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
                xp, stop_after: str | None = None,
-               stream_commit: bool = True) -> Proof:
+               stream_commit: bool = True, shard=None) -> Proof:
     """Pure tensor pipeline: (wires, pi polys, pi values) pairs -> Proof.
     Jit-able for a fixed circuit shape.  stop_after: compile-time debug knob
     ('commit'|'zs'|'quotient'|'openings'|'fri') to truncate the pipeline.
     stream_commit: use the fori_loop streaming wires commitment (single-chip
-    memory optimization); pass False under a wire-axis-sharded mesh, where
-    the loop's dynamic slices would force GSPMD halo exchanges."""
+    memory optimization).  shard: (axis_name, n_shards) when running inside a
+    shard_map over a column-parallel mesh axis (see parallel/mesh.py): the
+    heavy per-column / per-domain-point stages split over that axis with
+    explicit all_gathers, everything else computes replicated."""
     circuit = data.circuit
     cfg = circuit.config
     n, N = data.n, data.N
@@ -292,7 +344,11 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     B = wires_pair[0].shape[0]
     caph = cfg.fri.cap_height
 
-    commit_fn = _lde_commit_wires_stream if stream_commit else _lde_commit
+    if shard is not None:
+        def commit_fn(v, n_, N_, c_, x_):
+            return _lde_commit_sharded(v, n_, N_, c_, x_, shard)
+    else:
+        commit_fn = _lde_commit_wires_stream if stream_commit else _lde_commit
     wires_coeffs, wires_lde, wires_tree = commit_fn(wires_pair, n, N, caph, xp)
     if stop_after == 'commit':
         return wires_tree.cap
@@ -305,8 +361,7 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     fixed_cap = bk.fixed_levels[-1]
     ch.observe_cap((xp.broadcast_to(fixed_cap[0], (B,) + fixed_cap[0].shape),
                     xp.broadcast_to(fixed_cap[1], (B,) + fixed_cap[1].shape)))
-    for i in range(pis_pair[0].shape[1]):
-        ch.observe((pis_pair[0][:, i], pis_pair[1][:, i]))
+    ch.observe_array(pis_pair)
     ch.observe_cap(wires_tree.cap)
     betas, gammas = [], []
     for _ in range(C):
@@ -340,7 +395,10 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
             zs_list_lo.append(plo)
             zs_list_hi.append(phi)
     zs_vals = (xp.stack(zs_list_lo, 1), xp.stack(zs_list_hi, 1))
-    zs_coeffs, zs_lde, zs_tree = _lde_commit(zs_vals, n, N, caph, xp)
+    if shard is not None:
+        zs_coeffs, zs_lde, zs_tree = _lde_commit_sharded(zs_vals, n, N, caph, xp, shard)
+    else:
+        zs_coeffs, zs_lde, zs_tree = _lde_commit(zs_vals, n, N, caph, xp)
     if stop_after == 'zs':
         return zs_tree.cap
     ch.observe_cap(zs_tree.cap)
@@ -348,13 +406,19 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
 
     # ---- quotient ----------------------------------------------------------
     quot_vals = _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde,
-                                  betas, gammas, alphas, B, xp)
+                                  betas, gammas, alphas, B, xp, shard)
     qc = ntt.coset_intt(*quot_vals)  # [B, C, N]
     rate = N // n
     chunks_lo = qc[0].reshape(B, C * rate, n)
     chunks_hi = qc[1].reshape(B, C * rate, n)
     quot_lde = ntt.coset_ntt_from_coeffs(chunks_lo, chunks_hi, N)
-    quot_tree = merkle.build_merkle_tree_from_polys(quot_lde, caph, xp)
+    if shard is not None:
+        dsl = _shard_slice(quot_lde, shard[0], shard[1], 2)
+        dlo, dhi = merkle.leaf_digests_from_polys(dsl[0], dsl[1], xp)
+        dlo, dhi = _shard_gather((dlo, dhi), shard[0], -2)
+        quot_tree = merkle._build_tree_from_digests(dlo, dhi, caph, xp)
+    else:
+        quot_tree = merkle.build_merkle_tree_from_polys(quot_lde, caph, xp)
     ch.observe_cap(quot_tree.cap)
     if stop_after == 'quotient':
         return quot_tree.cap
@@ -382,14 +446,12 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     openings0 = _ext_concat([open_fixed, open_wires, open_zs, open_quot], xp)
     if stop_after == 'openings':
         return openings0
-    for i in range(layout.total):
-        ch.observe_ext(_ext_index(openings0, (slice(None), i)))
-    for i in range(C):
-        ch.observe_ext(_ext_index(open_zs_gzeta, (slice(None), i)))
+    ch.observe_ext_array(openings0)
+    ch.observe_ext_array(open_zs_gzeta)
 
     # ---- FRI ---------------------------------------------------------------
     F = _reduced_poly(data, bk, layout, wires_lde, zs_lde, quot_lde, openings0,
-                      open_zs_gzeta, zeta, gz, ch.get_ext(), z_idx, B, xp)
+                      open_zs_gzeta, zeta, gz, ch.get_ext(), z_idx, B, xp, shard)
     fri_proof = fri.fri_prove(ch, F, N, cfg, xp)
     if stop_after == 'fri':
         return fri_proof.caps
@@ -781,7 +843,7 @@ def _quotient_num_chunks(N: int, xp) -> int:
 
 
 def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
-                      alphas, B, xp):
+                      alphas, B, xp, shard=None):
     """Combined constraint evals / Z_H over the LDE coset -> [B, C, N] pairs.
 
     Pointwise in the domain, so it runs in N-chunks (one fori_loop) to bound
@@ -903,6 +965,29 @@ def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
             out_hi.append(q[1])
         return (xp.stack(out_lo, 1), xp.stack(out_hi, 1))
 
+    if shard is not None:
+        import jax
+        from jax import lax
+
+        ax, ns = shard
+        Nloc = N // ns
+        base = jax.lax.axis_index(ax) * Nloc
+        nch = _quotient_num_chunks(Nloc, xp)
+        Nc = Nloc // nch
+        out_lo = xp.zeros((B, C, Nloc), xp.uint32)
+        out_hi = xp.zeros((B, C, Nloc), xp.uint32)
+
+        def sbody(i, out):
+            olo, ohi = out
+            off = i * Nc
+            qlo, qhi = eval_chunk(lambda a: lax.dynamic_slice_in_dim(
+                a, base + off, Nc, axis=a.ndim - 1))
+            return (lax.dynamic_update_slice_in_dim(olo, qlo, off, axis=2),
+                    lax.dynamic_update_slice_in_dim(ohi, qhi, off, axis=2))
+
+        loc = lax.fori_loop(0, nch, sbody, (out_lo, out_hi))
+        return _shard_gather(loc, ax, 2)
+
     nch = _quotient_num_chunks(N, xp)
     if nch == 1:
         return eval_chunk(lambda a: a)
@@ -927,7 +1012,7 @@ def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
 
 
 def _reduced_poly(data, bk, layout, wires_lde, zs_lde, quot_lde, openings0,
-                  open_zs_gzeta, zeta, gzeta, alpha, z_idx, B, xp):
+                  open_zs_gzeta, zeta, gzeta, alpha, z_idx, B, xp, shard=None):
     """F(x) = sum_i a^i (p_i(x)-y_i)/(x-zeta) + a^n0 sum_j a^j (z_j(x)-y'_j)/(x-g zeta).
 
     Fully vectorized over the poly axis: all T = layout.total committed polys
@@ -989,6 +1074,30 @@ def _reduced_poly(data, bk, layout, wires_lde, zs_lde, quot_lde, openings0,
         F = gl.ext_add(F, gl.ext_mul(_ext_bc(apow_T, shape, xp),
                                      gl.ext_mul(acc1, inv1)))
         return F
+
+    if shard is not None:
+        import jax
+        from jax import lax
+
+        ax, ns = shard
+        Nloc = N // ns
+        base = jax.lax.axis_index(ax) * Nloc
+        nch = _quotient_num_chunks(Nloc, xp)
+        Nc = Nloc // nch
+        out = tuple((xp.zeros((B, Nloc), xp.uint32), xp.zeros((B, Nloc), xp.uint32))
+                    for _ in range(2))
+
+        def sbody(i, out):
+            off = i * Nc
+            F = eval_chunk(lambda a: lax.dynamic_slice_in_dim(
+                a, base + off, Nc, axis=a.ndim - 1))
+            return tuple(
+                (lax.dynamic_update_slice_in_dim(out[c][0], F[c][0], off, axis=1),
+                 lax.dynamic_update_slice_in_dim(out[c][1], F[c][1], off, axis=1))
+                for c in range(2))
+
+        loc = lax.fori_loop(0, nch, sbody, out)
+        return tuple(_shard_gather(loc[c], ax, 1) for c in range(2))
 
     nch = _quotient_num_chunks(N, xp)
     if nch == 1:
