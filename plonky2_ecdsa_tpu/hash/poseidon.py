@@ -6,11 +6,19 @@ plonky2's instance: width 12, 8 full rounds (4+4) + 22 partial rounds, S-box
 x^7, MDS = circulant(small constants) + diag so the MDS layer is all
 mul-by-u32 (cheap on 32-bit TPU lanes).
 
-Round constants are generated deterministically from a SHA-256 PRG (nothing
-up my sleeve; plonky2's exact baked-in constants are not available here and
-proof-transcript bit-compat with the Rust stack is out of scope — see
-SURVEY.md §7 determinism note).  The MDS matrix is checked invertible at
-import.
+Round constants are derived with the canonical Grain-LFSR procedure from the
+Poseidon reference implementation (Appendix F of the Poseidon paper /
+hadeshash generate_parameters_grain.sage), instantiated for
+(prime field, x^alpha S-box, n=64, t=12, R_F=8, R_P=22) — the vetted
+nothing-up-my-sleeve derivation the Poseidon security analysis assumes.
+plonky2's own baked-in constants use a different (ChaCha-seeded) generation
+and are not reproducible in this offline environment (the plonky2 crate is
+not vendored, SURVEY.md §2.9), so proof-transcript bit-compat with the Rust
+stack is out of scope; the MDS matrix below IS plonky2's
+(MDS_MATRIX_CIRC/MDS_MATRIX_DIAG of poseidon.rs) and the round structure
+matches its instance exactly.  The matrix is checked invertible at import
+and its MDS property is exhaustively verified in
+tests/test_prover.py (all-minors check, slow marker).
 
 The state is carried STACKED: a single (lo, hi) u32-pair tensor with leading
 axis 12, so the S-box and MDS vectorize across lanes as well as across the
@@ -19,7 +27,7 @@ hashing batch (2^18 Merkle leaves hash as [12, 2^18] tensors).
 
 from __future__ import annotations
 
-import hashlib
+
 
 import numpy as np
 
@@ -38,17 +46,52 @@ MDS_DIAG0 = 8  # extra weight on the [0,0] entry
 
 
 def _gen_round_constants():
+    """Grain-LFSR round constants (Poseidon reference derivation).
+
+    Init sequence: field tag 1 (prime field, 2 bits), sbox tag 0 (x^alpha,
+    4 bits), field size 64 (12 bits), t=12 (12 bits), R_F=8 (10 bits),
+    R_P=22 (10 bits), then 30 ones; 80-bit LFSR with taps
+    62,51,38,23,13,0; first 160 output bits discarded; shrinking sampler
+    (emit the bit following each 1, skip the bit following each 0); 64-bit
+    MSB-first candidates rejection-sampled until < p."""
+    bits = []
+
+    def push(v, w):
+        bits.extend((v >> (w - 1 - i)) & 1 for i in range(w))
+
+    push(1, 2)                       # prime field
+    push(0, 4)                       # x^alpha S-box
+    push(64, 12)                     # field bits
+    push(WIDTH, 12)                  # t
+    push(2 * HALF_FULL_ROUNDS, 10)   # R_F
+    push(PARTIAL_ROUNDS, 10)         # R_P
+    bits.extend([1] * 30)
+    state = bits[:]
+    assert len(state) == 80
+
+    def clock():
+        nb = (state[62] ^ state[51] ^ state[38] ^ state[23]
+              ^ state[13] ^ state[0])
+        state.pop(0)
+        state.append(nb)
+        return nb
+
+    for _ in range(160):
+        clock()
+
+    def next_bit():
+        while True:
+            if clock() == 1:
+                return clock()
+            clock()
+
     out = []
-    ctr = 0
     while len(out) < WIDTH * TOTAL_ROUNDS:
-        h = hashlib.sha256(b"plonky2_ecdsa_tpu/poseidon/v1/" + ctr.to_bytes(4, "little")).digest()
-        ctr += 1
-        for off in range(0, 32, 8):
-            v = int.from_bytes(h[off : off + 8], "little")
-            if v < gl.P:
-                out.append(v)
-            if len(out) == WIDTH * TOTAL_ROUNDS:
-                break
+        v = 0
+        for _ in range(64):
+            v = (v << 1) | next_bit()
+        if v < gl.P:
+            out.append(v)
     return out
 
 

@@ -260,6 +260,34 @@ def test_poseidon_matches_python_int_oracle(rng):
     assert got == state
 
 
+def test_poseidon_grain_constants_pinned():
+    """Freeze the Grain-LFSR round constants + a permutation output so any
+    accidental drift in the derivation (poseidon._gen_round_constants) is
+    caught; the derivation itself is the canonical one from the Poseidon
+    reference implementation (no plonky2 constants available offline —
+    poseidon.py module docstring)."""
+    rc = poseidon.ROUND_CONSTANTS
+    assert len(rc) == 360
+    assert rc[:4] == [0x13DCF33ABA214F46, 0x30B3B654A1DA6D83,
+                      0x1FC634ADA6159B56, 0x937459964DC03466]
+    assert rc[-2:] == [0x50C0B70D6910A44B, 0x23C7426AF725A6A0]
+    lo = np.arange(12, dtype=np.uint32).reshape(12, 1)
+    hi = np.zeros((12, 1), np.uint32)
+    out = gl.to_u64(*poseidon.permute_stacked(lo, hi)).ravel()
+    assert [int(v) for v in out[:4]] == [
+        0xD600CAA7C93782FF, 0x51B0A688A645E257,
+        0xAB66E96F38777AE2, 0xFB22A8EB3CA92C76]
+
+
+def test_poseidon_matrix_is_mds():
+    """Exhaustive MDS check: every square submatrix of the 12x12 circulant+
+    diag matrix (plonky2's MDS_MATRIX_CIRC/DIAG) is nonsingular over GF(p).
+    DP over (row-mask, col-mask) minors, ~2.7M determinants (~7 s)."""
+    from scripts.check_mds import all_minors_nonzero
+
+    assert all_minors_nonzero()
+
+
 def test_streaming_wire_commit_matches_plain(rng):
     """_lde_commit_wires_stream (fori_loop + sponge absorb) must produce the
     exact coeffs/LDE/cap of the plain path, incl. the k%8 remainder absorb
