@@ -38,6 +38,7 @@ from .gates import (
     PublicInputGate,
     RandomAccessGate,
     RangeCheckGate,
+    RangeLookupGate,
 )
 
 P = gl.P
@@ -95,10 +96,14 @@ class Circuit:
     k_coeffs: list              # cosets shifts k_j for routed columns
     gate_rows: dict             # gate_idx -> np.ndarray of row indices
     # device-derived witness targets (see _flush_range_pools): per range-check
-    # pool kind {bits: (V, nl, rows array)}; derived_tids are excluded from
-    # the uploaded value table and recomputed on device from the value wires
+    # pool kind {bits: (V, nl, limb_bits, rows array)}; derived_tids are
+    # excluded from the uploaded value table and recomputed on device from
+    # the value wires
     range_layouts: dict = field(default_factory=dict)
     derived_tids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    # LogUp range lookups: wire column holding the table multiplicities
+    # (None when the circuit has no range lookups)
+    lookup_mult_col: int | None = None
 
     # ---- witness generation -------------------------------------------------
     def generate_witness(self, inputs: dict, batch: int,
@@ -473,39 +478,107 @@ class CircuitBuilder:
 
     # ------------------------------------------------------------------ build
     def _flush_range_pools(self):
-        self._range_rows: dict[int, list[int]] = {29: [], 34: []}
+        """Pack pending range checks into LogUp RangeLookup rows.
+
+        Each pooled value gets limb wires (limb_bits each) + a recombination
+        constraint on the gate; limb range membership is proven by the global
+        LogUp argument against the row-index table (see RangeLookupGate).
+        The limbs are sink wires derived on device (range_layouts)."""
+        cfg = self.config
+        lb = cfg.range_lookup_limb_bits
+        mask = np.uint64((1 << lb) - 1)
+        self._range_rows: dict[int, list[int]] = {}
+        self._range_gate_shape: dict[int, tuple] = {}  # bits -> (V, nl)
         self._range_limb_tids: list[int] = []
+        self._lookup_rows: list[tuple] = []   # (gate, [value targets])
         for bits, pool in self._pending_range.items():
-            V = self.rc_vals[29 if bits == 29 else 34]
+            if not pool:
+                continue
+            nl = -(-bits // lb)
+            # V sized to the pool: tiny circuits get tiny gates (fewer LogUp
+            # helper columns -> smaller jit module), big pools pack fully
+            V = min(cfg.num_routed_wires, (cfg.num_wires - 1) // (1 + nl),
+                    cfg.range_lookup_vals, len(pool))
+            gate = RangeLookupGate(bits, V, lb)
+            self._range_rows[bits] = []
+            self._range_gate_shape[bits] = (V, nl)
             for off in range(0, len(pool), V):
                 chunk = pool[off : off + V]
-                gate = RangeCheckGate(bits, V)
                 row = self.add_row(gate)
                 self._range_rows[bits].append(row)
                 limb_ts = []
                 for v, t in enumerate(chunk):
                     self.connect(self.wire(row, gate.wire_value(v)), t)
                     limb_ts.append([self.wire(row, gate.wire_limb(v, j))
-                                    for j in range(gate.num_limbs)])
-                # the base-4 limbs are sink wires, pure functions of the value
-                # wire — recorded so the prover derives them ON DEVICE instead
-                # of shipping them in the witness table (they are ~78% of all
-                # targets in the ECDSA circuit)
+                                    for j in range(nl)])
                 for vl in limb_ts:
                     self._range_limb_tids.extend(vl)
                 flat = np.array(limb_ts)  # [V', nl]
 
-                def fill(ev, ts=np.array(chunk), outs=flat, nl=gate.num_limbs):
+                def fill(ev, ts=np.array(chunk), outs=flat, nl=nl, lb=lb,
+                         mask=mask):
                     v = ev.get(ts)  # [V', B]
                     limbs = np.stack(
-                        [(v >> np.uint64(2 * j)) & np.uint64(3) for j in range(nl)], axis=1
-                    )  # [V', nl, B]
+                        [(v >> np.uint64(lb * j)) & mask for j in range(nl)],
+                        axis=1)  # [V', nl, B]
                     ev.set(outs, limbs)
 
                 self.add_op(fill, flat.ravel().tolist(), f"range{bits}",
-                            rec=("range", dict(vals=chunk, limbs=flat,
-                                               nl=gate.num_limbs)))
+                            rec=("range_lookup", dict(vals=chunk, limbs=flat,
+                                                      nl=nl, lb=lb)))
+                self._lookup_rows.append((gate, list(chunk)))
         self._pending_range = {29: [], 34: []}
+
+    def _add_multiplicity_column(self, n: int) -> int | None:
+        """Create the LogUp multiplicity wire column (last wire col, every
+        row) + the tape op counting each table value's occurrences among all
+        looked-up limb terms.  Returns the column index (None if no lookups)."""
+        if not self._lookup_rows:
+            return None
+        cfg = self.config
+        lb = cfg.range_lookup_limb_bits
+        assert n >= (1 << lb), (
+            f"LogUp limb_bits={lb} needs n >= {1 << lb}, circuit has n={n}; "
+            "lower config.range_lookup_limb_bits for small circuits")
+        mult_col = cfg.num_wires - 1
+        m_ts = np.array([self.wire(r, mult_col) for r in range(n)])
+        # group value targets by gate parameter set; count static zero-slots
+        groups: dict = {}
+        zero_terms = 0
+        for gate, chunk in self._lookup_rows:
+            key = (gate.bits, gate.num_limbs, gate.scale)
+            groups.setdefault(key, []).extend(chunk)
+            zero_terms += (gate.num_vals - len(chunk)) * gate.terms_per_val
+        ginfo = [(np.array(vals), nlimbs, scale)
+                 for (bits, nlimbs, scale), vals in groups.items()]
+        mask = np.uint64((1 << lb) - 1)
+
+        def fill_m(ev, ginfo=ginfo, m_ts=m_ts, n=n, lb=lb, mask=mask,
+                   zero_terms=zero_terms):
+            B = ev.vals.shape[1]
+            terms = []
+            for vals, nlimbs, scale in ginfo:
+                v = ev.get(vals)  # [K, B]
+                limbs = [(v >> np.uint64(lb * j)) & mask for j in range(nlimbs)]
+                terms.extend(limbs)
+                if scale > 1:
+                    terms.append(limbs[-1] * np.uint64(scale))
+            allt = np.concatenate(terms, axis=0)  # [T, B]
+            m = np.zeros((n, B), np.uint64)
+            for b in range(B):
+                col = allt[:, b].astype(np.int64)
+                # out-of-table terms (possible only for invalid witnesses)
+                # are skipped: no multiplicity can match them anyway
+                m[:, b] = np.bincount(col[col < n], minlength=n)
+            m[0] += np.uint64(zero_terms)
+            ev.set(m_ts, m)
+
+        self.add_op(fill_m, m_ts.tolist(), "lookup_mult",
+                    rec=("lookup_mult", dict(
+                        groups=[(vals, nlimbs, scale)
+                                for vals, nlimbs, scale in ginfo],
+                        m_ts=m_ts, n=n, lb=lb, zero_terms=zero_terms)))
+        return mult_col
 
     def _add_public_input_rows(self) -> PublicInputLayout:
         K = 8
@@ -532,6 +605,7 @@ class CircuitBuilder:
         while len(self.rows) < n:
             self.rows.append((noop, ()))
             self.row_gate_idx.append(noop_idx)
+        lookup_mult_col = self._add_multiplicity_column(n)
 
         # constant columns
         constants = np.zeros((cfg.num_constant_cols, n), dtype=np.uint64)
@@ -585,11 +659,11 @@ class CircuitBuilder:
         else:
             derived_tids = np.zeros(0, np.int64)
         range_layouts = {}
+        lb = cfg.range_lookup_limb_bits
         for bits, rows in getattr(self, "_range_rows", {}).items():
             if rows:
-                g = RangeCheckGate(bits, self.rc_vals[29 if bits == 29 else 34])
-                range_layouts[bits] = (g.num_vals, g.num_limbs,
-                                       np.array(rows, dtype=np.int64))
+                V, nl = self._range_gate_shape[bits]
+                range_layouts[bits] = (V, nl, lb, np.array(rows, dtype=np.int64))
 
         return Circuit(
             config=cfg,
@@ -613,6 +687,7 @@ class CircuitBuilder:
             gate_rows=gate_rows,
             range_layouts=range_layouts,
             derived_tids=derived_tids,
+            lookup_mult_col=lookup_mult_col,
         )
 
     def _compute_sigmas(self, n: int, roots: np.ndarray):

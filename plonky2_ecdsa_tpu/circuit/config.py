@@ -34,11 +34,20 @@ class CircuitConfig:
     # exactly 128, and every wire column costs LDE + Merkle-leaf-hash work
     num_wires: int = 128
     num_routed_wires: int = 80
-    # 16 constant columns (plonky2 uses 2): the ECDSA circuit embeds ~18k
+    # 32 constant columns (plonky2 uses 2): the ECDSA circuit embeds ~18k
     # fixed-base-table constants, which at 2/row cost ~9k rows and pushed the
-    # domain to 2^15; at 16/row the whole circuit fits n = 2^14.  Constant
-    # polys are unbatched fixed data — widening them is nearly free.
-    num_constant_cols: int = 16
+    # domain to 2^15; at 32/row (plus LogUp range rows, see
+    # range_lookup_vals) the whole circuit fits n = 2^13.  Constant polys
+    # are unbatched fixed data — widening them is nearly free.
+    num_constant_cols: int = 32
+    # LogUp range checks: limb width of the row-index lookup table (needs
+    # n >= 2^limb_bits; 13 for the n=2^13 ECDSA circuit, small for tiny test
+    # circuits) and max values packed per RangeLookup row (1+nl wires each;
+    # the last wire column is reserved for the multiplicity counter).
+    # 28 balances range-row count against LogUp helper-column count
+    # (ceil(terms/3)+2 committed cols per challenge).
+    range_lookup_limb_bits: int = 13
+    range_lookup_vals: int = 28
     num_challenges: int = 2
     quotient_degree_factor: int = 4
     permutation_chunk_size: int = 4
@@ -62,6 +71,7 @@ class CircuitConfig:
         round-trip on CPU hosts), not a security parameterization."""
         return CircuitConfig(
             num_challenges=1,
+            range_lookup_limb_bits=3,
             fri=FriConfig(rate_bits=2, cap_height=1, num_query_rounds=4,
                           proof_of_work_bits=0),
         )
@@ -70,6 +80,7 @@ class CircuitConfig:
     def test_config() -> "CircuitConfig":
         """Small fast config for CPU unit tests (lower FRI query count)."""
         return CircuitConfig(
+            range_lookup_limb_bits=3,
             fri=FriConfig(rate_bits=2, cap_height=1, num_query_rounds=12,
                           proof_of_work_bits=8),
         )

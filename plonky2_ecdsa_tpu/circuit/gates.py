@@ -262,6 +262,87 @@ class RangeCheckGate(Gate):
         return out
 
 
+class RangeLookupGate(Gate):
+    """num_vals values each constrained < 2^bits via limb LOOKUPS (LogUp).
+
+    The lever that replaces RangeCheckGate's base-4 decomposition: each value
+    v splits into nl = ceil(bits/limb_bits) little-endian limbs of limb_bits
+    bits; membership of every limb — plus, when the top limb is narrower
+    (rem = bits % limb_bits != 0), of top * 2^(limb_bits-rem) — in the table
+    t(x) = canonical-row-index (a fixed polynomial covering [0, 2^limb_bits))
+    proves each limb's range: top * scale < 2^limb_bits iff top < 2^rem.
+    The only per-gate constraints here are the V recombinations
+    v = sum_j 2^(limb_bits j) l_j (degree 1); the challenge-dependent LogUp
+    helper/running-sum constraints are global, emitted by the prover/verifier
+    alongside the permutation argument (prover._lookup_polys /
+    _compute_quotient).
+
+    At limb_bits=13 (needs n >= 2^13): 4 wires/value vs 16-20 for the base-4
+    gate -> 28 values/row at 128 wires, which brings the ECDSA circuit from
+    n=2^14 to n=2^13.  plonky2 gained equivalent LogUp machinery
+    (LookupGate/LookupTableGate); the reference predates it and pays ~6
+    range-check rows per nonnative mul (src/gadgets/nonnative.rs:453-460).
+    """
+
+    BATCH = 3  # LogUp helper batch size (filtered constraint degree 2+BATCH <= 5)
+
+    def __init__(self, bits: int, num_vals: int, limb_bits: int = 13):
+        self.bits = bits
+        self.num_vals = num_vals
+        self.limb_bits = limb_bits
+        self.num_limbs = -(-bits // limb_bits)
+        rem = bits % limb_bits
+        self.top_bits = rem if rem else limb_bits
+        self.scale = (1 << (limb_bits - rem)) if rem else 1
+
+    def gate_id(self):
+        return f"RangeLookup({self.bits},{self.num_vals},{self.limb_bits})"
+
+    @property
+    def num_wires(self):
+        return self.num_vals * (1 + self.num_limbs)
+
+    @property
+    def num_constraints(self):
+        return self.num_vals
+
+    degree = 1
+
+    def wire_value(self, v):
+        return v
+
+    def wire_limb(self, v, j):
+        return self.num_vals + v * self.num_limbs + j
+
+    @property
+    def terms_per_val(self):
+        return self.num_limbs + (1 if self.scale > 1 else 0)
+
+    def lookup_terms(self):
+        """[(wire_col, scale)] looked up in the row-index table, in order."""
+        out = []
+        for v in range(self.num_vals):
+            for j in range(self.num_limbs):
+                out.append((self.wire_limb(v, j), 1))
+            if self.scale > 1:
+                out.append((self.wire_limb(v, self.num_limbs - 1), self.scale))
+        return out
+
+    @property
+    def num_batches(self):
+        return -(-(self.num_vals * self.terms_per_val) // self.BATCH)
+
+    def eval(self, alg, wires, consts, ctx):
+        out = []
+        for v in range(self.num_vals):
+            acc = alg.zero()
+            for j in reversed(range(self.num_limbs)):
+                acc = alg.mul_const(acc, 1 << self.limb_bits)
+                acc = alg.add(acc, wires[self.wire_limb(v, j)])
+            out.append(alg.sub(acc, wires[self.wire_value(v)]))
+        return out
+
+
 class MulNonNativeGate(Gate):
     """Fused nonnative modular multiplication: x*y = q*m + r in 9x29-bit limbs.
 

@@ -77,7 +77,7 @@ _SIGS = {
     "op_mul_nn": 12, "op_inv_nn": 11, "op_add_nn": 12, "op_sub_nn": 12,
     "op_add_many_nn": 12, "op_cmp_const": 8, "op_range": 6, "op_arith": 8,
     "op_random_access": 10, "op_split": 5, "op_is_equal": 5,
-    "op_scatter_wires": 10,
+    "op_scatter_wires": 10, "op_range_lookup": 7, "op_lookup_mult": 9,
 }
 
 
@@ -198,6 +198,22 @@ class NativeTape:
         limbs = self._keep(_arr(np.asarray(p["limbs"]).ravel()))
         nl = int(p["nl"])
         return (_ptr(v), len(v), _ptr(limbs), nl)
+
+    def _prep_range_lookup(self, p, rm):
+        v = self._keep(_arr(rm[_arr(p["vals"])]))
+        limbs = self._keep(_arr(np.asarray(p["limbs"]).ravel()))
+        return (_ptr(v), len(v), _ptr(limbs), int(p["nl"]), int(p["lb"]))
+
+    def _prep_lookup_mult(self, p, rm):
+        gmeta = self._keep(_arr(np.array(
+            [[len(vals), nl, scale] for vals, nl, scale in p["groups"]]
+        ).ravel()))
+        gvals = self._keep(_arr(np.concatenate(
+            [rm[_arr(vals)] for vals, _nl, _sc in p["groups"]])
+            if p["groups"] else np.zeros(0, np.int64)))
+        m_t = self._keep(_arr(p["m_ts"]))
+        return (_ptr(gmeta), len(p["groups"]), _ptr(gvals), _ptr(m_t),
+                int(p["n"]), int(p["lb"]), int(p["zero_terms"]))
 
     def _prep_arith(self, p, rm):
         return (int(rm[p["m1"]]), int(rm[p["m2"]]), int(rm[p["ad"]]),

@@ -603,6 +603,55 @@ int op_range(u64 *vals, i64 B, const i64 *v_t, i64 V, const i64 *limb_t,
     return 0;
 }
 
+// pooled LogUp range decomposition: nl limbs of lb bits per value
+int op_range_lookup(u64 *vals, i64 B, const i64 *v_t, i64 V,
+                    const i64 *limb_t, i64 nl, i64 lb) {
+    u64 mask = ((u64)1 << lb) - 1;
+    for (i64 b = 0; b < B; b++) {
+        for (i64 v = 0; v < V; v++) {
+            u64 x = vals[v_t[v] * B + b];
+            for (i64 j = 0; j < nl; j++)
+                vals[limb_t[v * nl + j] * B + b] = (x >> (lb * j)) & mask;
+        }
+    }
+    return 0;
+}
+
+// LogUp multiplicity column: for each lane, histogram every looked-up limb
+// term over the canonical table values [0, 2^lb) and write the m wires.
+// gmeta: per group [val_count, nlimbs, scale]; gvals: concatenated value
+// target ids (group-major); m_t: n multiplicity targets (row order).
+int op_lookup_mult(u64 *vals, i64 B, const i64 *gmeta, i64 ngroups,
+                   const i64 *gvals, const i64 *m_t, i64 n, i64 lb,
+                   i64 zero_terms) {
+    u64 mask = ((u64)1 << lb) - 1;
+    for (i64 b = 0; b < B; b++) {
+        for (i64 r = 0; r < n; r++) vals[m_t[r] * B + b] = 0;
+        const i64 *vp = gvals;
+        for (i64 g = 0; g < ngroups; g++) {
+            i64 K = gmeta[3 * g], nl = gmeta[3 * g + 1], scale = gmeta[3 * g + 2];
+            for (i64 k = 0; k < K; k++) {
+                u64 x = vals[vp[k] * B + b];
+                u64 top = 0;
+                // out-of-table terms are skipped, not errors: they produce an
+                // unsatisfiable witness (no multiplicity can match them), and
+                // the soundness tests rely on generation still completing
+                for (i64 j = 0; j < nl; j++) {
+                    top = (x >> (lb * j)) & mask;
+                    if (top < (u64)n) vals[m_t[top] * B + b] += 1;
+                }
+                if (scale > 1) {
+                    u64 sc = top * (u64)scale;
+                    if (sc < (u64)n) vals[m_t[sc] * B + b] += 1;
+                }
+            }
+            vp += K;
+        }
+        vals[m_t[0] * B + b] += (u64)zero_terms;
+    }
+    return 0;
+}
+
 // out = c0*m1*m2 + c1*ad (Goldilocks)
 int op_arith(u64 *vals, i64 B, i64 m1_t, i64 m2_t, i64 ad_t, i64 out_t,
              i64 c0, i64 c1) {

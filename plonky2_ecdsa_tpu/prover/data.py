@@ -20,12 +20,30 @@ P = gl.P
 
 
 @dataclass
+class LookupInfo:
+    """LogUp range-lookup metadata (None on circuits without lookups).
+
+    The argument (per challenge c, challenge alpha_c drawn after the wires
+    commitment):  sum over looked-up limb terms of 1/(alpha - f) equals
+    sum over rows of m(x)/(alpha - t(x)), where t is the canonical-row-index
+    fixed polynomial and m the multiplicity wire column.  Committed with the
+    permutation Zs: helper columns h_b (batches of 3 rational terms), the
+    table helper h_tab = m/(alpha - t), and the running sum Z."""
+    gates: list          # [(gate_idx, RangeLookupGate)]
+    mult_col: int        # wire column of multiplicities
+    table_idx: int       # row index of t(x) within fixed_values
+    num_batches: int     # helper columns per challenge (max over gates)
+    cols_per_challenge: int   # num_batches + 2 (h_tab, Z)
+    slots: int           # constraint slots: 1 + num_batches + 1 + 1
+
+
+@dataclass
 class CircuitData:
     circuit: Circuit
     n: int
     N: int                      # LDE size = n << rate_bits
     g: int                      # subgroup generator (order n)
-    fixed_values: np.ndarray    # [F0, n] u64: constants, selectors, sigmas
+    fixed_values: np.ndarray    # [F0, n] u64: constants, selectors, sigmas[, table]
     fixed_lde: tuple            # pairs [F0, N]
     fixed_tree: merkle.MerkleTree
     fixed_coeffs: tuple         # pairs [F0, n]
@@ -33,8 +51,9 @@ class CircuitData:
     x_lde: np.ndarray           # [N] u64 domain points
     zh_inv: tuple               # pairs [N]: 1 / (x^n - 1)
     l0_lde: tuple               # pairs [N]: Lagrange L_0 over the coset
-    num_constraint_slots: int   # perm constraints + max gate constraints
+    num_constraint_slots: int   # perm constraints + max gate constraints [+ lookup]
     perm_slots: int
+    lookup: LookupInfo | None = None
 
 
 def _use_device() -> bool:
@@ -110,9 +129,30 @@ def build_circuit_data(circuit: Circuit) -> CircuitData:
     N = n << cfg.fri.rate_bits
     g = pow(gl.POWER_OF_TWO_GENERATOR, (1 << 32) // n, P)
 
-    fixed_values = np.concatenate(
-        [circuit.constants, circuit.selectors, circuit.sigmas], axis=0
-    ).astype(np.uint64)
+    from ..circuit.gates import RangeLookupGate
+
+    lk_gates = [(gi, g_) for gi, g_ in enumerate(circuit.gates)
+                if isinstance(g_, RangeLookupGate)
+                and len(circuit.gate_rows.get(gi, ())) > 0]
+    fixed_rows = [circuit.constants, circuit.selectors, circuit.sigmas]
+    lookup = None
+    if lk_gates:
+        # t(x) = canonical row index: [0, 2^limb_bits) then padding zeros
+        lb = cfg.range_lookup_limb_bits
+        table = np.arange(n, dtype=np.uint64)
+        table[1 << lb:] = 0
+        fixed_rows.append(table[None])
+        nb = max(g_.num_batches for _gi, g_ in lk_gates)
+        lookup = LookupInfo(
+            gates=lk_gates,
+            mult_col=circuit.lookup_mult_col,
+            table_idx=(cfg.num_constant_cols + len(circuit.gates)
+                       + cfg.num_routed_wires),
+            num_batches=nb,
+            cols_per_challenge=nb + 2,
+            slots=nb + 3,
+        )
+    fixed_values = np.concatenate(fixed_rows, axis=0).astype(np.uint64)
     fixed_coeffs, fixed_lde, fixed_tree = _fixed_commit(
         fixed_values, n, N, cfg.fri.cap_height)
 
@@ -148,6 +188,7 @@ def build_circuit_data(circuit: Circuit) -> CircuitData:
     max_gate_cons = max((gate.num_constraints for gate in circuit.gates), default=0)
     # L_0 first-row constraint + one step constraint per chunk (last = Z(gx))
     perm_slots = 1 + cfg.num_routed_wires // cfg.permutation_chunk_size
+    slots = perm_slots + max_gate_cons + (lookup.slots if lookup else 0)
 
     return CircuitData(
         circuit=circuit,
@@ -162,6 +203,7 @@ def build_circuit_data(circuit: Circuit) -> CircuitData:
         x_lde=x_lde,
         zh_inv=zh_inv,
         l0_lde=l0,
-        num_constraint_slots=perm_slots + max_gate_cons,
+        num_constraint_slots=slots,
         perm_slots=perm_slots,
+        lookup=lookup,
     )

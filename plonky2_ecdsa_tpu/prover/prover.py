@@ -36,6 +36,24 @@ def _bc(pair, shape, xp):
     return (xp.broadcast_to(pair[0], shape), xp.broadcast_to(pair[1], shape))
 
 
+def _prefix_sum_exclusive(lo, hi, xp):
+    """Exclusive modular prefix SUM over the last axis (log-depth scan);
+    the LogUp running-sum column Z (Z[0]=0, Z[i]=sum_{j<i} contrib[j])."""
+    n = lo.shape[-1]
+    shift = 1
+    while shift < n:
+        zlo = xp.zeros(lo.shape[:-1] + (shift,), xp.uint32)
+        zhi = xp.zeros_like(zlo)
+        slo = xp.concatenate([zlo, lo[..., :-shift]], -1)
+        shi = xp.concatenate([zhi, hi[..., :-shift]], -1)
+        lo, hi = gl.add(lo, hi, slo, shi)
+        shift *= 2
+    zlo = xp.zeros(lo.shape[:-1] + (1,), xp.uint32)
+    zhi = xp.zeros_like(zlo)
+    return (xp.concatenate([zlo, lo[..., :-1]], -1),
+            xp.concatenate([zhi, hi[..., :-1]], -1))
+
+
 def _prefix_prod_exclusive(lo, hi, xp):
     """Exclusive modular prefix product over the last axis (log-depth scan)."""
     n = lo.shape[-1]
@@ -125,7 +143,8 @@ class Backend:
         self.ids = cpair(gl.from_u64(data.id_encodings))
         nc = data.circuit.config.num_constant_cols
         S = len(data.circuit.gates)
-        self.sig = cpair(gl.from_u64(data.fixed_values[nc + S:]))
+        nr = data.circuit.config.num_routed_wires
+        self.sig = cpair(gl.from_u64(data.fixed_values[nc + S : nc + S + nr]))
         self.x_pair = cpair(gl.from_u64(data.x_lde))
         self.zh_inv = cpair(data.zh_inv)
         self.l0_lde = cpair(data.l0_lde)
@@ -280,6 +299,94 @@ def _lde_commit_wires_stream(vals_pair, n, N, cap_height, xp):
     return (coeffs_lo, coeffs_hi), (lde_lo, lde_hi), tree
 
 
+def _batch_DN(ds, k0, batch_size, xp):
+    """Helper-batch products for LogUp terms d_j = alpha - f_j:
+    D = prod_j d_j and N = sum_j prod_{k != j} d_k over ds[k0 : k0+batch_size].
+    Empty batch -> (1, 0) (the gate contributes nothing to that slot)."""
+    batch = ds[k0 : k0 + batch_size]
+    if not batch:
+        one = (xp.ones_like(ds[0][0]), xp.zeros_like(ds[0][1]))
+        zero = (xp.zeros_like(ds[0][0]), xp.zeros_like(ds[0][1]))
+        return one, zero
+    if len(batch) == 1:
+        one = (xp.ones_like(batch[0][0]), xp.zeros_like(batch[0][1]))
+        return batch[0], one
+    if len(batch) == 2:
+        D = gl.mul(*batch[0], *batch[1])
+        N = gl.add(*batch[0], *batch[1])
+        return D, N
+    d0, d1, d2 = batch
+    d01 = gl.mul(*d0, *d1)
+    D = gl.mul(*d01, *d2)
+    N = gl.add(*d01, *gl.mul(*gl.add(*d0, *d1), *d2))
+    return D, N
+
+
+def _lookup_polys(data: CircuitData, lk, wires_pair, alpha, xp):
+    """LogUp committed columns for ONE challenge: helpers h_0..h_{nb-1},
+    table helper h_tab = m/(alpha - t), running sum Z — values on H,
+    [B, n] pairs, committed alongside the permutation Zs.
+
+    h_b = sum over lookup gates g of sel_g * N_b^g / D_b^g (sel-masked so
+    off-gate rows commit 0; the quotient constraints bind them on gate rows
+    and the Z step uses sel_sum * sum_b h_b, so off-row junk cannot affect
+    soundness either way)."""
+    circuit = data.circuit
+    n = data.n
+    B = wires_pair[0].shape[0]
+    nb = lk.num_batches
+    BSZ = 3
+    a2 = (alpha[0][:, None], alpha[1][:, None])  # [B, 1] -> bc over n
+
+    def asp(pair):
+        return ((pair[0] if xp is np else xp.asarray(pair[0])),
+                (pair[1] if xp is np else xp.asarray(pair[1])))
+
+    shape = (B, n)
+    gate_DN = []   # per gate: (sel pair [n], [(D_b, N_b)] * nb)
+    for gi, g_ in lk.gates:
+        sel = asp(gl.from_u64(circuit.selectors[gi]))
+        ds = []
+        for col, scale in g_.lookup_terms():
+            w = (wires_pair[0][:, col], wires_pair[1][:, col])
+            f = w if scale == 1 else gl.mul_small(*w, np.uint32(scale))
+            ds.append(gl.sub(*_bc(a2, shape, xp), *f))
+        DNs = [_batch_DN(ds, b * BSZ, BSZ, xp) for b in range(nb)]
+        gate_DN.append((sel, DNs))
+    # table denominators: t(x) = canonical row index (padding rows -> 0)
+    lb = circuit.config.range_lookup_limb_bits
+    tvals = np.arange(n, dtype=np.uint64)
+    tvals[1 << lb:] = 0
+    tpair = asp(gl.from_u64(tvals))
+    dt = gl.sub(*_bc(a2, shape, xp), *_bc(tpair, shape, xp))
+
+    # one Montgomery batch inversion over [B, G*nb + 1, n]
+    inv_in_lo = xp.stack([DN[b][0][0] for _sel, DN in gate_DN
+                          for b in range(nb)] + [dt[0]], 1)
+    inv_in_hi = xp.stack([DN[b][0][1] for _sel, DN in gate_DN
+                          for b in range(nb)] + [dt[1]], 1)
+    inv = _batch_inverse_axis1((inv_in_lo, inv_in_hi), xp)
+
+    cols = []
+    hsum = (xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32))
+    for b in range(nb):
+        hb = (xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32))
+        for g, (sel, DNs) in enumerate(gate_DN):
+            Dinv = (inv[0][:, g * nb + b], inv[1][:, g * nb + b])
+            term = gl.mul(*gl.mul(*DNs[b][1], *Dinv), *_bc(sel, shape, xp))
+            hb = gl.add(*hb, *term)
+        cols.append(hb)
+        hsum = gl.add(*hsum, *hb)
+    m = (wires_pair[0][:, lk.mult_col], wires_pair[1][:, lk.mult_col])
+    dt_inv = (inv[0][:, -1], inv[1][:, -1])
+    h_tab = gl.mul(*m, *dt_inv)
+    cols.append(h_tab)
+    contrib = gl.sub(*hsum, *h_tab)
+    Z = _prefix_sum_exclusive(*contrib, xp)
+    cols.append(Z)
+    return cols
+
+
 def host_prep(data: CircuitData, W, pis: np.ndarray):
     """Host-side prep: witness/PI tensors -> u32-pair device inputs.
 
@@ -367,6 +474,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     for _ in range(C):
         betas.append(ch.get_challenge())
         gammas.append(ch.get_challenge())
+    lk = data.lookup
+    lk_alphas = [ch.get_challenge() for _ in range(C)] if lk is not None else []
 
     # ---- permutation grand products ---------------------------------------
     routed = (wires_pair[0][:, :nr], wires_pair[1][:, :nr])  # [B, nr, n]
@@ -394,6 +503,11 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
             plo, phi = gl.mul(zlo, zhi, Rlo[t], Rhi[t])
             zs_list_lo.append(plo)
             zs_list_hi.append(phi)
+    if lk is not None:
+        for c in range(C):
+            for plo, phi in _lookup_polys(data, lk, wires_pair, lk_alphas[c], xp):
+                zs_list_lo.append(plo)
+                zs_list_hi.append(phi)
     zs_vals = (xp.stack(zs_list_lo, 1), xp.stack(zs_list_hi, 1))
     if shard is not None:
         zs_coeffs, zs_lde, zs_tree = _lde_commit_sharded(zs_vals, n, N, caph, xp, shard)
@@ -406,7 +520,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
 
     # ---- quotient ----------------------------------------------------------
     quot_vals = _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde,
-                                  betas, gammas, alphas, B, xp, shard)
+                                  betas, gammas, alphas, B, xp, shard,
+                                  lk_alphas)
     qc = ntt.coset_intt(*quot_vals)  # [B, C, N]
     rate = N // n
     chunks_lo = qc[0].reshape(B, C * rate, n)
@@ -428,7 +543,7 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     layout = OpeningLayout(
         num_fixed=data.fixed_values.shape[0],
         num_wires=cfg.num_wires,
-        num_zs_partials=C * nchunks,
+        num_zs_partials=int(zs_vals[0].shape[1]),
         num_quotient=C * rate,
     )
     zpows = ntt.ext_powers(zeta, n)
@@ -440,6 +555,9 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
     gz = _ext_mul_base_const(zeta, data.g)
     gzp = _ext_expand_mid(ntt.ext_powers(gz, n))
     z_idx = [c * nchunks for c in range(C)]
+    if lk is not None:
+        cpc = lk.cols_per_challenge
+        z_idx += [C * nchunks + c * cpc + cpc - 1 for c in range(C)]
     zonly = (zs_coeffs[0][:, z_idx], zs_coeffs[1][:, z_idx])
     open_zs_gzeta = ntt.eval_poly_ext(*zonly, gzp)
 
@@ -576,9 +694,9 @@ def _scatter_maps(data: CircuitData):
             if idx < circuit.pi.count:
                 imap_pi[j * n + row] = new_of[circuit.pi_tids[idx]]
     pit = new_of[circuit.pi_tids].astype(np.int32)
-    layouts = sorted(circuit.range_layouts.items())  # [(bits, (V, nl, rows))]
-    rows_arrays = [np.asarray(rows, np.int32) for _, (_V, _nl, rows) in layouts]
-    layout_meta = tuple((bits, V, nl) for bits, (V, nl, _r) in layouts)
+    layouts = sorted(circuit.range_layouts.items())  # [(bits, (V, nl, lb, rows))]
+    rows_arrays = [np.asarray(rows, np.int32) for _, (_V, _nl, _lb, rows) in layouts]
+    layout_meta = tuple((bits, V, nl, lb) for bits, (V, nl, lb, _r) in layouts)
     return imap, imap_pi, pit, keep_ids, rows_arrays, layout_meta
 
 
@@ -656,20 +774,27 @@ def make_jit_prover(data: CircuitData):
     spec_cell: dict = {}
 
     def _derive_range_limbs(wl, wh, rows_dev):
-        """Recompute range-check base-4 limb wires from the value wires
-        (limb j of v = (v >> 2j) & 3; they were dropped from the upload)."""
+        """Recompute range-lookup limb wires from the value wires (limb j of
+        v = (v >> lb*j) & (2^lb - 1); they were dropped from the upload)."""
         B = wl.shape[0]
-        for (bits, V, nl), rows in zip(layout_meta, rows_dev):
+        for (bits, V, nl, lb), rows in zip(layout_meta, rows_dev):
             vlo = wl[:, :V][:, :, rows]  # [B, V, R]
             vhi = wh[:, :V][:, :, rows]
+            mask = np.uint32((1 << lb) - 1)
             limbs = []
             for j in range(nl):
-                sh = 2 * j
-                limbs.append(((vlo >> sh) & 3) if sh < 32
-                             else ((vhi >> (sh - 32)) & 3))
+                sh = lb * j
+                if sh == 0:
+                    lv = vlo
+                elif sh < 32:
+                    lv = (vlo >> np.uint32(sh)) | (vhi << np.uint32(32 - sh))
+                else:
+                    lv = vhi >> np.uint32(sh - 32)
+                limbs.append(lv & mask)
             st = jnp.stack(limbs, 2).reshape(B, V * nl, rows.shape[0])
             wl = wl.at[:, V : V + V * nl, rows].set(st)
-            # hi halves of 2-bit limbs are zero: the zero slot already put 0s
+            # hi halves of limbs (< 2^lb <= 2^13) are zero: the zero slot
+            # already put 0s there
         return wl, wh
 
     def _expand(maps, vals_pair):
@@ -843,7 +968,7 @@ def _quotient_num_chunks(N: int, xp) -> int:
 
 
 def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
-                      alphas, B, xp, shard=None):
+                      alphas, B, xp, shard=None, lk_alphas=()):
     """Combined constraint evals / Z_H over the LDE coset -> [B, C, N] pairs.
 
     Pointwise in the domain, so it runs in N-chunks (one fori_loop) to bound
@@ -877,9 +1002,15 @@ def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
         ids_lo.append(il)
         ids_hi.append(ih)
     ids_full = (xp.stack(ids_lo, 0), xp.stack(ids_hi, 0))  # [nr, N]
-    # Z(g x) for each challenge, precomputed (the roll crosses chunk bounds)
-    zsh_full = (xp.roll(zs_lde[0][:, ::nchunks][:, :C], -roll, -1),
-                xp.roll(zs_lde[1][:, ::nchunks][:, :C], -roll, -1))  # [B, C, N]
+    # Z(g x) for each challenge (perm Zs, then lookup Zs), precomputed
+    # (the roll crosses chunk bounds)
+    lk = data.lookup
+    zcols = [c * nchunks for c in range(C)]
+    if lk is not None:
+        cpc = lk.cols_per_challenge
+        zcols += [C * nchunks + c * cpc + cpc - 1 for c in range(C)]
+    zsh_full = (xp.roll(zs_lde[0][:, zcols], -roll, -1),
+                xp.roll(zs_lde[1][:, zcols], -roll, -1))  # [B, len(zcols), N]
 
     from ..circuit.gates import _sum_axis0
 
@@ -956,6 +1087,60 @@ def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
                 weighted = gl.mul(cons[0], cons[1], avec_lo[:, :, None], avec_hi[:, :, None])
                 term = _sum_axis0(*weighted)
                 comb[c] = gl.add(*comb[c], *gl.mul(*sel, *term))
+
+        # ---- LogUp range-lookup constraints (data.LookupInfo docstring) ----
+        if lk is not None:
+            nb = lk.num_batches
+            BSZ = 3
+            base_slot = data.num_constraint_slots - lk.slots
+            tv = (fixed[0][lk.table_idx], fixed[1][lk.table_idx])  # [Nc]
+            mv = (w_lde[0][:, lk.mult_col], w_lde[1][:, lk.mult_col])
+            for c in range(C):
+                a2 = (lk_alphas[c][0][:, None], lk_alphas[c][1][:, None])
+                abc = _bc(a2, shape, xp)
+                zoff = C * nchunks + c * lk.cols_per_challenge
+
+                def slot(k, term, c=c):
+                    ap = apows[c][base_slot + k]
+                    comb[c] = gl.add(*comb[c], *gl.mul(
+                        *term, ap[0][:, None], ap[1][:, None]))
+                    return comb[c]
+
+                # slot 0: h_tab * (alpha - t) - m = 0 (all rows)
+                h_tab = (zsc[0][:, zoff + nb], zsc[1][:, zoff + nb])
+                dtab = gl.sub(*abc, *_bc(tv, shape, xp))
+                comb[c] = slot(0, gl.sub(*gl.mul(*h_tab, *dtab), *mv))
+                # slots 1..nb: sel_g * (h_b * D_b^g - N_b^g) summed over gates
+                hsum = (xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32))
+                selsum = (xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32))
+                batch_cons = [(xp.zeros(shape, xp.uint32),
+                               xp.zeros(shape, xp.uint32)) for _ in range(nb)]
+                for gi, g_ in lk.gates:
+                    sel = _bc((fixed[0][sel_off + gi], fixed[1][sel_off + gi]),
+                              shape, xp)
+                    ds = []
+                    for col, scale in g_.lookup_terms():
+                        wv = (w_lde[0][:, col], w_lde[1][:, col])
+                        f = wv if scale == 1 else gl.mul_small(*wv, np.uint32(scale))
+                        ds.append(gl.sub(*abc, *f))
+                    for b in range(nb):
+                        Db, Nb = _batch_DN(ds, b * BSZ, BSZ, xp)
+                        hb = (zsc[0][:, zoff + b], zsc[1][:, zoff + b])
+                        cb = gl.sub(*gl.mul(*hb, *Db), *Nb)
+                        batch_cons[b] = gl.add(*batch_cons[b], *gl.mul(*sel, *cb))
+                    selsum = gl.add(*selsum, *sel)
+                for b in range(nb):
+                    comb[c] = slot(1 + b, batch_cons[b])
+                    hb = (zsc[0][:, zoff + b], zsc[1][:, zoff + b])
+                    hsum = gl.add(*hsum, *hb)
+                # slot nb+1: Z(gx) - Z(x) - sel_sum * sum_b h_b + h_tab = 0
+                zlk = (zsc[0][:, zoff + nb + 1], zsc[1][:, zoff + nb + 1])
+                zlk_sh = (zshc[0][:, C + c], zshc[1][:, C + c])
+                step = gl.add(*gl.sub(*gl.sub(*zlk_sh, *zlk),
+                                      *gl.mul(*selsum, *hsum)), *h_tab)
+                comb[c] = slot(1 + nb, step)
+                # slot nb+2: L0 * Z = 0 (running sum starts at zero)
+                comb[c] = slot(2 + nb, gl.mul(*_bc(l0c, shape, xp), *zlk))
 
         zh = _bc(zhc, shape, xp)
         out_lo, out_hi = [], []

@@ -47,6 +47,8 @@ def save_circuit_data(data: CircuitData, path: str):
         "gate_rows": {k: np.asarray(v) for k, v in c.gate_rows.items()},
         "num_constraint_slots": data.num_constraint_slots,
         "perm_slots": data.perm_slots,
+        "lookup": data.lookup,
+        "lookup_mult_col": c.lookup_mult_col,
         "g": data.g,
         "N": data.N,
         "fixed_cap_height": data.fixed_tree.cap_height,
@@ -109,6 +111,7 @@ def load_circuit_data(path: str) -> CircuitData:
         gate_rows={int(k): np.asarray(v) for k, v in meta["gate_rows"].items()},
         range_layouts=meta.get("range_layouts", {}),
         derived_tids=meta.get("derived_tids", np.zeros(0, np.int64)),
+        lookup_mult_col=meta.get("lookup_mult_col"),
     )
     return CircuitData(
         circuit=circuit,
@@ -125,6 +128,7 @@ def load_circuit_data(path: str) -> CircuitData:
         l0_lde=(z["l0_lo"], z["l0_hi"]),
         num_constraint_slots=meta["num_constraint_slots"],
         perm_slots=meta["perm_slots"],
+        lookup=meta.get("lookup"),
     )
 
 

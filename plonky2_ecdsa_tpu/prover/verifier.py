@@ -136,10 +136,17 @@ def verify_merkle_paths_batched(leaf_lo, leaf_hi, idx, path_lo, path_hi,
 
 def verify(data: CircuitData, proof: Proof) -> bool:
     """True iff every batch lane's proof verifies (plonky2 data.verify
-    equivalent; Result-style bool instead of raising)."""
+    equivalent; Result-style bool instead of raising).
+
+    Robust against structurally malformed proofs: any exception from the
+    transcript replay / constraint / FRI machinery (wrong dtypes, ranks,
+    truncated pytrees -> TypeError/KeyError/AttributeError/...) means the
+    proof does not verify; only genuine programming errors (e.g. a wrong
+    `data`) should escape via VerifyInternalError-free paths, and a
+    malformed proof must never crash a verifying service."""
     try:
         verify_strict(data, proof)
-    except (AssertionError, IndexError, ValueError):
+    except Exception:
         return False
     return True
 
@@ -179,16 +186,22 @@ def verify_strict(data: CircuitData, proof: Proof):
     for _ in range(C):
         betas.append(ch.get_challenge())
         gammas.append(ch.get_challenge())
+    lk = data.lookup
+    lk_alphas = [ch.get_challenge() for _ in range(C)] if lk is not None else []
+    z_idx = [c * nchunks for c in range(C)]
+    if lk is not None:
+        cpc = lk.cols_per_challenge
+        z_idx += [C * nchunks + c * cpc + cpc - 1 for c in range(C)]
     ch.observe_cap(proof.zs_cap)
     alphas = [ch.get_challenge() for _ in range(C)]
     ch.observe_cap(proof.quotient_cap)
     zeta = ch.get_ext()
 
     opens0 = proof.openings0  # ext pair [B, total]
-    opens1 = proof.openings1  # ext pair [B, C]
+    opens1 = proof.openings1  # ext pair [B, len(z_idx)]
     for i in range(layout.total):
         ch.observe_ext(_ext_at_idx(opens0, (slice(None), i)))
-    for i in range(C):
+    for i in range(len(z_idx)):
         ch.observe_ext(_ext_at_idx(opens1, (slice(None), i)))
     fri_alpha = ch.get_ext()
 
@@ -247,11 +260,12 @@ def verify_strict(data: CircuitData, proof: Proof):
     consts_alg = [open_at(sl["fixed"].start + j) for j in range(nc)]
     sels = [open_at(sl["fixed"].start + nc + gi) for gi in range(S)]
     sigmas = [open_at(sl["fixed"].start + nc + S + j) for j in range(nr)]
-    zsp = [open_at(sl["zs_partials"].start + j) for j in range(C * nchunks)]
+    zsp = [open_at(sl["zs_partials"].start + j) for j in range(layout.num_zs_partials)]
     quot = [open_at(sl["quotient"].start + j) for j in range(C * rate)]
-    opens1_list = [_ext_at_idx(opens1, (slice(None), c)) for c in range(C)]
+    opens1_list = [_ext_at_idx(opens1, (slice(None), i)) for i in range(len(z_idx))]
 
-    max_gate_cons = data.num_constraint_slots - data.perm_slots
+    max_gate_cons = (data.num_constraint_slots - data.perm_slots
+                     - (lk.slots if lk is not None else 0))
     gate_terms = [alg.zero()] * max_gate_cons
     for gi, gate in enumerate(circuit.gates):
         if gate.num_constraints == 0:
@@ -297,6 +311,62 @@ def verify_strict(data: CircuitData, proof: Proof):
             apow = gl.mul(*apow, *alpha)
         for s in range(max_gate_cons):
             combined = fold(gate_terms[s], combined, apow)
+            apow = gl.mul(*apow, *alpha)
+
+        if lk is not None:
+            nb = lk.num_batches
+            BSZ = 3
+            zoff = C * nchunks + c * lk.cols_per_challenge
+            alpha_lk = (lk_alphas[c], gl.from_int(0, shape))
+            t_open = open_at(sl["fixed"].start + lk.table_idx)
+            m_open = wires_alg[lk.mult_col]
+            h_tab = zsp[zoff + nb]
+            # slot 0: h_tab (alpha - t) - m
+            combined = fold(gl.ext_sub(gl.ext_mul(
+                h_tab, gl.ext_sub(alpha_lk, t_open)), m_open), combined, apow)
+            apow = gl.mul(*apow, *alpha)
+            # slots 1..nb: sel_g (h_b D_b - N_b), summed over lookup gates
+            gate_ds = []
+            for gi, g_ in lk.gates:
+                ds = [gl.ext_sub(alpha_lk,
+                                 alg.mul_const(wires_alg[col], scale))
+                      for col, scale in g_.lookup_terms()]
+                gate_ds.append((sels[gi], ds))
+            hsum = alg.zero()
+            selsum = alg.zero()
+            for sel, _ds in gate_ds:
+                selsum = gl.ext_add(selsum, sel)
+            for b in range(nb):
+                hb = zsp[zoff + b]
+                hsum = gl.ext_add(hsum, hb)
+                slot_val = alg.zero()
+                for sel, ds in gate_ds:
+                    batch = ds[b * BSZ : b * BSZ + BSZ]
+                    if not batch:
+                        D, Nv = one, alg.zero()
+                    elif len(batch) == 1:
+                        D, Nv = batch[0], one
+                    elif len(batch) == 2:
+                        D = gl.ext_mul(batch[0], batch[1])
+                        Nv = gl.ext_add(batch[0], batch[1])
+                    else:
+                        d01 = gl.ext_mul(batch[0], batch[1])
+                        D = gl.ext_mul(d01, batch[2])
+                        Nv = gl.ext_add(d01, gl.ext_mul(
+                            gl.ext_add(batch[0], batch[1]), batch[2]))
+                    slot_val = gl.ext_add(slot_val, gl.ext_mul(
+                        sel, gl.ext_sub(gl.ext_mul(hb, D), Nv)))
+                combined = fold(slot_val, combined, apow)
+                apow = gl.mul(*apow, *alpha)
+            # slot nb+1: Z(g zeta) - Z - sel_sum sum_b h_b + h_tab
+            zlk = zsp[zoff + nb + 1]
+            zlk_g = opens1_list[C + c]
+            step = gl.ext_add(gl.ext_sub(gl.ext_sub(zlk_g, zlk),
+                                         gl.ext_mul(selsum, hsum)), h_tab)
+            combined = fold(step, combined, apow)
+            apow = gl.mul(*apow, *alpha)
+            # slot nb+2: L0 * Z
+            combined = fold(gl.ext_mul(l0, zlk), combined, apow)
             apow = gl.mul(*apow, *alpha)
 
         qsum = alg.zero()
@@ -354,14 +424,14 @@ def verify_strict(data: CircuitData, proof: Proof):
     x_ext = ((x[0], x[1]), (np.zeros(bq, np.uint32), np.zeros(bq, np.uint32)))
     Fv = gl.ext_mul(red0, gl.ext_inverse(gl.ext_sub(x_ext, zeta_bq)))
 
-    # Z-poly part at g*zeta
+    # Z-poly part at g*zeta (perm Zs + lookup Zs)
     gz = gl.ext_scalar_mul(zeta, gl.from_int(data.g, shape))
-    apows1 = ntt.ext_powers(fri_alpha, C)
+    apows1 = ntt.ext_powers(fri_alpha, len(z_idx))
     red1 = ((np.zeros(bq, np.uint32), np.zeros(bq, np.uint32)),
             (np.zeros(bq, np.uint32), np.zeros(bq, np.uint32)))
-    for c in range(C):
-        vz_lo = leaf_lo[..., sl["zs_partials"].start + c * nchunks]
-        vz_hi = leaf_hi[..., sl["zs_partials"].start + c * nchunks]
+    for c, zi in enumerate(z_idx):
+        vz_lo = leaf_lo[..., sl["zs_partials"].start + zi]
+        vz_hi = leaf_hi[..., sl["zs_partials"].start + zi]
         y = opens1_list[c]
         d0 = gl.sub(vz_lo, vz_hi, y[0][0][:, None], y[0][1][:, None])
         d1 = gl.neg(y[1][0][:, None], y[1][1][:, None])
@@ -491,6 +561,12 @@ def verify_one_exact(data: CircuitData, proof: Proof, b: int):
     for _ in range(C):
         betas.append(_chal_int(ch))
         gammas.append(_chal_int(ch))
+    lk = data.lookup
+    lk_alphas = [_chal_int(ch) for _ in range(C)] if lk is not None else []
+    z_idx = [c * nchunks for c in range(C)]
+    if lk is not None:
+        cpc = lk.cols_per_challenge
+        z_idx += [C * nchunks + c * cpc + cpc - 1 for c in range(C)]
     ch.observe_cap(_cap_at(proof.zs_cap, b))
     alphas = [_chal_int(ch) for _ in range(C)]
     ch.observe_cap(_cap_at(proof.quotient_cap, b))
@@ -498,7 +574,7 @@ def verify_one_exact(data: CircuitData, proof: Proof, b: int):
 
     sl = layout.slices()
     opens0 = [_ext_at(proof.openings0, (b, i)) for i in range(layout.total)]
-    opens1 = [_ext_at(proof.openings1, (b, i)) for i in range(C)]
+    opens1 = [_ext_at(proof.openings1, (b, i)) for i in range(len(z_idx))]
     for e in opens0:
         ch.observe_ext(_to_alg(e))
     for e in opens1:
@@ -537,7 +613,8 @@ def verify_one_exact(data: CircuitData, proof: Proof, b: int):
     alg = ExtAlgebra(np, ())
     wires_alg = [_to_alg(w) for w in wires_o]
     consts_alg = [_to_alg(c) for c in consts_o]
-    max_gate_cons = data.num_constraint_slots - data.perm_slots
+    max_gate_cons = (data.num_constraint_slots - data.perm_slots
+                     - (lk.slots if lk is not None else 0))
     gate_terms = [(0, 0)] * max_gate_cons
     for gi, gate in enumerate(circuit.gates):
         if gate.num_constraints == 0:
@@ -582,6 +659,55 @@ def verify_one_exact(data: CircuitData, proof: Proof, b: int):
         # gate slots
         for s in range(max_gate_cons):
             combined = add(gate_terms[s], combined, apow)
+            apow = apow * alpha % P
+
+        # LogUp lookup slots (mirrors prover._compute_quotient lookup block)
+        if lk is not None:
+            nb = lk.num_batches
+            BSZ = 3
+            zoff = C * nchunks + c * lk.cols_per_challenge
+            alpha_lk = (lk_alphas[c], 0)
+            t_open = fixed_o[lk.table_idx]
+            m_open = wires_o[lk.mult_col]
+            h_tab = zsp_o[zoff + nb]
+            combined = add(esub(emul(h_tab, esub(alpha_lk, t_open)), m_open),
+                           combined, apow)
+            apow = apow * alpha % P
+            gate_ds = []
+            for gi, g_ in lk.gates:
+                ds = [esub(alpha_lk, escalar(wires_o[col], scale))
+                      for col, scale in g_.lookup_terms()]
+                gate_ds.append((sels_o[gi], ds))
+            hsum = (0, 0)
+            selsum = (0, 0)
+            for sel, _ds in gate_ds:
+                selsum = eadd(selsum, sel)
+            for bi in range(nb):
+                hb = zsp_o[zoff + bi]
+                hsum = eadd(hsum, hb)
+                slot_val = (0, 0)
+                for sel, ds in gate_ds:
+                    batch = ds[bi * BSZ : bi * BSZ + BSZ]
+                    if not batch:
+                        D, Nv = (1, 0), (0, 0)
+                    elif len(batch) == 1:
+                        D, Nv = batch[0], (1, 0)
+                    elif len(batch) == 2:
+                        D = emul(batch[0], batch[1])
+                        Nv = eadd(batch[0], batch[1])
+                    else:
+                        d01 = emul(batch[0], batch[1])
+                        D = emul(d01, batch[2])
+                        Nv = eadd(d01, emul(eadd(batch[0], batch[1]), batch[2]))
+                    slot_val = eadd(slot_val, emul(sel, esub(emul(hb, D), Nv)))
+                combined = add(slot_val, combined, apow)
+                apow = apow * alpha % P
+            zlk = zsp_o[zoff + nb + 1]
+            zlk_g = opens1[C + c]
+            step = eadd(esub(esub(zlk_g, zlk), emul(selsum, hsum)), h_tab)
+            combined = add(step, combined, apow)
+            apow = apow * alpha % P
+            combined = add(emul(l0, zlk), combined, apow)
             apow = apow * alpha % P
 
         # quotient recomposition: sum_t zeta^(n t) q_{c,t}(zeta)
@@ -655,8 +781,8 @@ def verify_one_exact(data: CircuitData, proof: Proof, b: int):
         Fv = emul(red0, einv(esub((x, 0), zeta)))
         red1 = (0, 0)
         apow1 = (1, 0)
-        for c in range(C):
-            vz = leaf_vals[sl["zs_partials"].start + c * nchunks]
+        for c, zi in enumerate(z_idx):
+            vz = leaf_vals[sl["zs_partials"].start + zi]
             red1 = eadd(red1, emul(apow1, esub((vz, 0), opens1[c])))
             apow1 = emul(apow1, fri_alpha)
         Fv = eadd(Fv, emul(apow, emul(red1, einv(esub((x, 0), gz)))))

@@ -3,6 +3,7 @@
 --xla_force_host_platform_device_count)."""
 
 import numpy as np
+import pytest
 
 from plonky2_ecdsa_tpu.circuit.examples import small_demo_circuit, small_demo_witness
 from plonky2_ecdsa_tpu.parallel.mesh import make_mesh_prover, prover_mesh
@@ -11,6 +12,7 @@ from plonky2_ecdsa_tpu.prover.prover import prove
 from plonky2_ecdsa_tpu.prover.verifier import verify
 
 
+@pytest.mark.slow
 def test_mesh_prover_verifies_and_matches_host():
     import jax
 
@@ -34,6 +36,7 @@ def test_mesh_prover_verifies_and_matches_host():
         assert np.array_equal(np.asarray(lo), hlo)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -42,6 +45,7 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_compiles():
     import sys
     sys.path.insert(0, "/root/repo")

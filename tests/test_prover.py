@@ -216,6 +216,7 @@ def test_verify_rejects_tampered_pow_witness():
         verify_strict(data, proof)
 
 
+@pytest.mark.slow
 def test_poseidon_pallas_interpret(rng):
     """Mosaic kernel math == jnp/numpy permutation (interpret mode on CPU)."""
     import jax.numpy as jnp
@@ -230,6 +231,7 @@ def test_poseidon_pallas_interpret(rng):
     assert np.array_equal(np.asarray(out[1]), ref[1])
 
 
+@pytest.mark.slow
 def test_batched_verifier_matches_exact():
     """The vectorized verifier and the python-int reference path agree."""
     from plonky2_ecdsa_tpu.prover.verifier import verify_one_exact
@@ -288,6 +290,7 @@ def test_poseidon_matrix_is_mds():
     assert all_minors_nonzero()
 
 
+@pytest.mark.slow
 def test_streaming_wire_commit_matches_plain(rng):
     """_lde_commit_wires_stream (fori_loop + sponge absorb) must produce the
     exact coeffs/LDE/cap of the plain path, incl. the k%8 remainder absorb
@@ -311,6 +314,7 @@ def test_streaming_wire_commit_matches_plain(rng):
         assert np.array_equal(np.asarray(tree.cap[1]), ref_tree.cap[1])
 
 
+@pytest.mark.slow
 def test_ntt_pallas_sub_ntt_interpret(rng):
     """Fused sub-NTT Mosaic kernel (in-VMEM bitrev + all stages) == numpy
     sub-NTT (interpret mode on CPU)."""
@@ -330,6 +334,7 @@ def test_ntt_pallas_sub_ntt_interpret(rng):
             assert np.array_equal(np.asarray(got[1]), want[1]), (n_t, L, inverse)
 
 
+@pytest.mark.slow
 def test_ntt_pallas_four_step_interpret(rng):
     """Full fused four-step (two kernels + transpose) == numpy ntt, both
     directions, including the folded 1/n and the compact-coefficient coset
