@@ -542,13 +542,17 @@ class CircuitBuilder:
             "lower config.range_lookup_limb_bits for small circuits")
         mult_col = cfg.num_wires - 1
         m_ts = np.array([self.wire(r, mult_col) for r in range(n)])
-        # group value targets by gate parameter set; count static zero-slots
+        # group value targets by gate parameter set; count static zero terms:
+        # every lookup-gate row contributes exactly nb*BATCH terms (real limb
+        # reads of the chunk's values, zero-reads of unused value slots, and
+        # structural batch pads) — all non-real ones are lookups of 0
+        nb = max(g_.num_batches for g_, _ in self._lookup_rows)
         groups: dict = {}
         zero_terms = 0
         for gate, chunk in self._lookup_rows:
             key = (gate.bits, gate.num_limbs, gate.scale)
             groups.setdefault(key, []).extend(chunk)
-            zero_terms += (gate.num_vals - len(chunk)) * gate.terms_per_val
+            zero_terms += nb * gate.BATCH - len(chunk) * gate.terms_per_val
         ginfo = [(np.array(vals), nlimbs, scale)
                  for (bits, nlimbs, scale), vals in groups.items()]
         mask = np.uint64((1 << lb) - 1)

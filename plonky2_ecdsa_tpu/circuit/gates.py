@@ -332,6 +332,19 @@ class RangeLookupGate(Gate):
     def num_batches(self):
         return -(-(self.num_vals * self.terms_per_val) // self.BATCH)
 
+    def lookup_cols_scales(self, nb: int):
+        """(cols, scales) int lists of length exactly nb * BATCH: the real
+        terms, then structural pads (scale=0 -> f identically 0, a lookup of
+        table value 0; the multiplicity column counts one zero per pad, see
+        builder._add_multiplicity_column).  Uniform 3-term batches let the
+        prover evaluate all helper products as stacked tensor ops."""
+        terms = self.lookup_terms()
+        pads = nb * self.BATCH - len(terms)
+        assert pads >= 0
+        cols = [c for c, _s in terms] + [0] * pads
+        scales = [s for _c, s in terms] + [0] * pads
+        return cols, scales
+
     def eval(self, alg, wires, consts, ctx):
         out = []
         for v in range(self.num_vals):

@@ -43,6 +43,28 @@ def prover_mesh(n_devices: int | None = None, col_parallel: int = 2):
     return Mesh(np.array(devs).reshape(dp, col), ("dp", "col"))
 
 
+def prover_mesh_2level(n_hosts: int, chips_per_host: int, col_parallel: int = 2):
+    """3-D (dcn, dp, col) mesh: the production multi-host layout.
+
+    The proof batch shards over BOTH 'dcn' (across hosts, slow links) and
+    'dp' (within a host) — batch lanes are fully independent, so the only
+    DCN traffic is input/output distribution.  The communicating 'col' axis
+    (all_gathers inside prove_core) stays INSIDE a host so its collectives
+    ride ICI, per the mesh-axis ordering rule for hierarchical networks.
+    On CI this is exercised with virtual CPU devices standing in for chips
+    (SURVEY.md §7.6; real multi-host runs pass jax.distributed-initialized
+    device lists)."""
+    import jax
+    from jax.sharding import Mesh
+
+    need = n_hosts * chips_per_host
+    devs = jax.devices()[:need]
+    assert len(devs) == need, (len(devs), need)
+    col = col_parallel if (col_parallel > 0 and chips_per_host % col_parallel == 0) else 1
+    dp = chips_per_host // col
+    return Mesh(np.array(devs).reshape(n_hosts, dp, col), ("dcn", "dp", "col"))
+
+
 def make_mesh_prover(data: CircuitData, mesh):
     """Jitted prover with the witness batch sharded over 'dp' and the
     polynomial-column/LDE-domain axes over 'col'.  Returns
@@ -63,9 +85,11 @@ def make_mesh_prover(data: CircuitData, mesh):
 
     _register_pytrees()
     bk = Backend(data, jnp)
-    ncol = mesh.shape["col"]
+    ncol = mesh.shape.get("col", 1)
     shard = ("col", ncol) if ncol > 1 else None
-    dp = Pspec("dp")
+    # every non-'col' axis shards the batch (dp, and dcn when 2-level)
+    batch_axes = tuple(a for a in mesh.axis_names if a != "col")
+    dp = Pspec(batch_axes)
     # Same platform split as make_jit_prover: closure literals on CPU (fast
     # XLA:CPU compiles, no payload limit), jit arguments on device backends.
     use_params = mesh.devices.flat[0].platform != "cpu"
@@ -97,9 +121,11 @@ def make_mesh_prover(data: CircuitData, mesh):
         core = jax.jit(smapped)
 
     def run(W: np.ndarray, pis: np.ndarray) -> Proof:
-        dp = mesh.shape["dp"]
-        B = W.shape[-1]
-        assert B % dp == 0, f"batch {B} must divide over dp={dp}"
+        ndp = 1
+        for a in batch_axes:
+            ndp *= mesh.shape[a]
+        B = W.shape[-1] if not isinstance(W, tuple) else W[0].shape[0]
+        assert B % ndp == 0, f"batch {B} must divide over batch axes ({ndp})"
         wires_pair, pi_pair, pis_pair = host_prep(data, W, pis)
         proof = core(wires_pair, pi_pair, pis_pair)
         proof = jax.device_get(proof)

@@ -299,29 +299,6 @@ def _lde_commit_wires_stream(vals_pair, n, N, cap_height, xp):
     return (coeffs_lo, coeffs_hi), (lde_lo, lde_hi), tree
 
 
-def _batch_DN(ds, k0, batch_size, xp):
-    """Helper-batch products for LogUp terms d_j = alpha - f_j:
-    D = prod_j d_j and N = sum_j prod_{k != j} d_k over ds[k0 : k0+batch_size].
-    Empty batch -> (1, 0) (the gate contributes nothing to that slot)."""
-    batch = ds[k0 : k0 + batch_size]
-    if not batch:
-        one = (xp.ones_like(ds[0][0]), xp.zeros_like(ds[0][1]))
-        zero = (xp.zeros_like(ds[0][0]), xp.zeros_like(ds[0][1]))
-        return one, zero
-    if len(batch) == 1:
-        one = (xp.ones_like(batch[0][0]), xp.zeros_like(batch[0][1]))
-        return batch[0], one
-    if len(batch) == 2:
-        D = gl.mul(*batch[0], *batch[1])
-        N = gl.add(*batch[0], *batch[1])
-        return D, N
-    d0, d1, d2 = batch
-    d01 = gl.mul(*d0, *d1)
-    D = gl.mul(*d01, *d2)
-    N = gl.add(*d01, *gl.mul(*gl.add(*d0, *d1), *d2))
-    return D, N
-
-
 def _lookup_polys(data: CircuitData, lk, wires_pair, alpha, xp):
     """LogUp committed columns for ONE challenge: helpers h_0..h_{nb-1},
     table helper h_tab = m/(alpha - t), running sum Z — values on H,
@@ -343,16 +320,24 @@ def _lookup_polys(data: CircuitData, lk, wires_pair, alpha, xp):
                 (pair[1] if xp is np else xp.asarray(pair[1])))
 
     shape = (B, n)
-    gate_DN = []   # per gate: (sel pair [n], [(D_b, N_b)] * nb)
+    a4 = (alpha[0][:, None, None], alpha[1][:, None, None])  # [B, 1, 1]
+    gate_DN = []   # per gate: (sel pair [n], D [B, nb, n], N [B, nb, n])
     for gi, g_ in lk.gates:
         sel = asp(gl.from_u64(circuit.selectors[gi]))
-        ds = []
-        for col, scale in g_.lookup_terms():
-            w = (wires_pair[0][:, col], wires_pair[1][:, col])
-            f = w if scale == 1 else gl.mul_small(*w, np.uint32(scale))
-            ds.append(gl.sub(*_bc(a2, shape, xp), *f))
-        DNs = [_batch_DN(ds, b * BSZ, BSZ, xp) for b in range(nb)]
-        gate_DN.append((sel, DNs))
+        colsg, scales = g_.lookup_cols_scales(nb)
+        w = (wires_pair[0][:, colsg], wires_pair[1][:, colsg])  # [B, T, n]
+        sc = asp(gl.from_u64(np.array(scales, np.uint64)))
+        f = gl.mul(*w, sc[0][None, :, None], sc[1][None, :, None])
+        d = gl.sub(*_bc(a4, f[0].shape, xp), *f)                # [B, T, n]
+        d3l = d[0].reshape(B, nb, BSZ, n)
+        d3h = d[1].reshape(B, nb, BSZ, n)
+        d0 = (d3l[:, :, 0], d3h[:, :, 0])
+        d1 = (d3l[:, :, 1], d3h[:, :, 1])
+        d2 = (d3l[:, :, 2], d3h[:, :, 2])
+        d01 = gl.mul(*d0, *d1)
+        D = gl.mul(*d01, *d2)
+        Ng = gl.add(*d01, *gl.mul(*gl.add(*d0, *d1), *d2))
+        gate_DN.append((sel, D, Ng))
     # table denominators: t(x) = canonical row index (padding rows -> 0)
     lb = circuit.config.range_lookup_limb_bits
     tvals = np.arange(n, dtype=np.uint64)
@@ -361,22 +346,18 @@ def _lookup_polys(data: CircuitData, lk, wires_pair, alpha, xp):
     dt = gl.sub(*_bc(a2, shape, xp), *_bc(tpair, shape, xp))
 
     # one Montgomery batch inversion over [B, G*nb + 1, n]
-    inv_in_lo = xp.stack([DN[b][0][0] for _sel, DN in gate_DN
-                          for b in range(nb)] + [dt[0]], 1)
-    inv_in_hi = xp.stack([DN[b][0][1] for _sel, DN in gate_DN
-                          for b in range(nb)] + [dt[1]], 1)
+    inv_in_lo = xp.concatenate([D[0] for _s, D, _N in gate_DN] + [dt[0][:, None]], 1)
+    inv_in_hi = xp.concatenate([D[1] for _s, D, _N in gate_DN] + [dt[1][:, None]], 1)
     inv = _batch_inverse_axis1((inv_in_lo, inv_in_hi), xp)
 
-    cols = []
-    hsum = (xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32))
-    for b in range(nb):
-        hb = (xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32))
-        for g, (sel, DNs) in enumerate(gate_DN):
-            Dinv = (inv[0][:, g * nb + b], inv[1][:, g * nb + b])
-            term = gl.mul(*gl.mul(*DNs[b][1], *Dinv), *_bc(sel, shape, xp))
-            hb = gl.add(*hb, *term)
-        cols.append(hb)
-        hsum = gl.add(*hsum, *hb)
+    helpers = (xp.zeros((B, nb, n), xp.uint32), xp.zeros((B, nb, n), xp.uint32))
+    for g, (sel, _D, Ng) in enumerate(gate_DN):
+        Dinv = (inv[0][:, g * nb : (g + 1) * nb], inv[1][:, g * nb : (g + 1) * nb])
+        term = gl.mul(*gl.mul(*Ng, *Dinv),
+                      sel[0][None, None], sel[1][None, None])
+        helpers = gl.add(*helpers, *term)
+    cols = [(helpers[0][:, b], helpers[1][:, b]) for b in range(nb)]
+    hsum = _sum_pairs_axis(*helpers, 1, xp)
     m = (wires_pair[0][:, lk.mult_col], wires_pair[1][:, lk.mult_col])
     dt_inv = (inv[0][:, -1], inv[1][:, -1])
     h_tab = gl.mul(*m, *dt_inv)
@@ -1111,28 +1092,40 @@ def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
                 dtab = gl.sub(*abc, *_bc(tv, shape, xp))
                 comb[c] = slot(0, gl.sub(*gl.mul(*h_tab, *dtab), *mv))
                 # slots 1..nb: sel_g * (h_b * D_b^g - N_b^g) summed over gates
-                hsum = (xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32))
+                # (vectorized: all nb*3 term denominators in stacked tensors)
+                Nc2 = shape[-1]
+                a4 = (lk_alphas[c][0][:, None, None], lk_alphas[c][1][:, None, None])
+                hb_all = (zsc[0][:, zoff : zoff + nb], zsc[1][:, zoff : zoff + nb])
+                batch_cons = (xp.zeros((B, nb, Nc2), xp.uint32),
+                              xp.zeros((B, nb, Nc2), xp.uint32))
                 selsum = (xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32))
-                batch_cons = [(xp.zeros(shape, xp.uint32),
-                               xp.zeros(shape, xp.uint32)) for _ in range(nb)]
                 for gi, g_ in lk.gates:
-                    sel = _bc((fixed[0][sel_off + gi], fixed[1][sel_off + gi]),
-                              shape, xp)
-                    ds = []
-                    for col, scale in g_.lookup_terms():
-                        wv = (w_lde[0][:, col], w_lde[1][:, col])
-                        f = wv if scale == 1 else gl.mul_small(*wv, np.uint32(scale))
-                        ds.append(gl.sub(*abc, *f))
-                    for b in range(nb):
-                        Db, Nb = _batch_DN(ds, b * BSZ, BSZ, xp)
-                        hb = (zsc[0][:, zoff + b], zsc[1][:, zoff + b])
-                        cb = gl.sub(*gl.mul(*hb, *Db), *Nb)
-                        batch_cons[b] = gl.add(*batch_cons[b], *gl.mul(*sel, *cb))
-                    selsum = gl.add(*selsum, *sel)
-                for b in range(nb):
-                    comb[c] = slot(1 + b, batch_cons[b])
-                    hb = (zsc[0][:, zoff + b], zsc[1][:, zoff + b])
-                    hsum = gl.add(*hsum, *hb)
+                    selp = (fixed[0][sel_off + gi], fixed[1][sel_off + gi])
+                    colsg, scales = g_.lookup_cols_scales(nb)
+                    wv = (w_lde[0][:, colsg], w_lde[1][:, colsg])  # [B, T, Nc]
+                    sc = gl.from_u64(np.array(scales, np.uint64))
+                    if xp is not np:
+                        sc = (xp.asarray(sc[0]), xp.asarray(sc[1]))
+                    f = gl.mul(*wv, sc[0][None, :, None], sc[1][None, :, None])
+                    d = gl.sub(*_bc(a4, f[0].shape, xp), *f)
+                    d3l = d[0].reshape(B, nb, BSZ, Nc2)
+                    d3h = d[1].reshape(B, nb, BSZ, Nc2)
+                    d0 = (d3l[:, :, 0], d3h[:, :, 0])
+                    d1 = (d3l[:, :, 1], d3h[:, :, 1])
+                    d2 = (d3l[:, :, 2], d3h[:, :, 2])
+                    d01 = gl.mul(*d0, *d1)
+                    Db = gl.mul(*d01, *d2)
+                    Nb = gl.add(*d01, *gl.mul(*gl.add(*d0, *d1), *d2))
+                    cb = gl.sub(*gl.mul(*hb_all, *Db), *Nb)
+                    batch_cons = gl.add(*batch_cons, *gl.mul(
+                        *cb, selp[0][None, None], selp[1][None, None]))
+                    selsum = gl.add(*selsum, *_bc(selp, shape, xp))
+                # weight slots 1..nb by their alpha powers and fold at once
+                a_lo = xp.stack([apows[c][base_slot + 1 + b][0] for b in range(nb)], 1)
+                a_hi = xp.stack([apows[c][base_slot + 1 + b][1] for b in range(nb)], 1)
+                wt = gl.mul(*batch_cons, a_lo[:, :, None], a_hi[:, :, None])
+                comb[c] = gl.add(*comb[c], *_sum_pairs_axis(*wt, 1, xp))
+                hsum = _sum_pairs_axis(*hb_all, 1, xp)
                 # slot nb+1: Z(gx) - Z(x) - sel_sum * sum_b h_b + h_tab = 0
                 zlk = (zsc[0][:, zoff + nb + 1], zsc[1][:, zoff + nb + 1])
                 zlk_sh = (zshc[0][:, C + c], zshc[1][:, C + c])

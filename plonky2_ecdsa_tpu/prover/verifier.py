@@ -328,9 +328,10 @@ def verify_strict(data: CircuitData, proof: Proof):
             # slots 1..nb: sel_g (h_b D_b - N_b), summed over lookup gates
             gate_ds = []
             for gi, g_ in lk.gates:
+                colsg, scalesg = g_.lookup_cols_scales(nb)
                 ds = [gl.ext_sub(alpha_lk,
                                  alg.mul_const(wires_alg[col], scale))
-                      for col, scale in g_.lookup_terms()]
+                      for col, scale in zip(colsg, scalesg)]
                 gate_ds.append((sels[gi], ds))
             hsum = alg.zero()
             selsum = alg.zero()
@@ -341,19 +342,10 @@ def verify_strict(data: CircuitData, proof: Proof):
                 hsum = gl.ext_add(hsum, hb)
                 slot_val = alg.zero()
                 for sel, ds in gate_ds:
-                    batch = ds[b * BSZ : b * BSZ + BSZ]
-                    if not batch:
-                        D, Nv = one, alg.zero()
-                    elif len(batch) == 1:
-                        D, Nv = batch[0], one
-                    elif len(batch) == 2:
-                        D = gl.ext_mul(batch[0], batch[1])
-                        Nv = gl.ext_add(batch[0], batch[1])
-                    else:
-                        d01 = gl.ext_mul(batch[0], batch[1])
-                        D = gl.ext_mul(d01, batch[2])
-                        Nv = gl.ext_add(d01, gl.ext_mul(
-                            gl.ext_add(batch[0], batch[1]), batch[2]))
+                    d0, d1, d2 = ds[b * BSZ : b * BSZ + BSZ]
+                    d01 = gl.ext_mul(d0, d1)
+                    D = gl.ext_mul(d01, d2)
+                    Nv = gl.ext_add(d01, gl.ext_mul(gl.ext_add(d0, d1), d2))
                     slot_val = gl.ext_add(slot_val, gl.ext_mul(
                         sel, gl.ext_sub(gl.ext_mul(hb, D), Nv)))
                 combined = fold(slot_val, combined, apow)
@@ -675,8 +667,9 @@ def verify_one_exact(data: CircuitData, proof: Proof, b: int):
             apow = apow * alpha % P
             gate_ds = []
             for gi, g_ in lk.gates:
+                colsg, scalesg = g_.lookup_cols_scales(nb)
                 ds = [esub(alpha_lk, escalar(wires_o[col], scale))
-                      for col, scale in g_.lookup_terms()]
+                      for col, scale in zip(colsg, scalesg)]
                 gate_ds.append((sels_o[gi], ds))
             hsum = (0, 0)
             selsum = (0, 0)
@@ -687,18 +680,10 @@ def verify_one_exact(data: CircuitData, proof: Proof, b: int):
                 hsum = eadd(hsum, hb)
                 slot_val = (0, 0)
                 for sel, ds in gate_ds:
-                    batch = ds[bi * BSZ : bi * BSZ + BSZ]
-                    if not batch:
-                        D, Nv = (1, 0), (0, 0)
-                    elif len(batch) == 1:
-                        D, Nv = batch[0], (1, 0)
-                    elif len(batch) == 2:
-                        D = emul(batch[0], batch[1])
-                        Nv = eadd(batch[0], batch[1])
-                    else:
-                        d01 = emul(batch[0], batch[1])
-                        D = emul(d01, batch[2])
-                        Nv = eadd(d01, emul(eadd(batch[0], batch[1]), batch[2]))
+                    d0, d1, d2 = ds[bi * BSZ : bi * BSZ + BSZ]
+                    d01 = emul(d0, d1)
+                    D = emul(d01, d2)
+                    Nv = eadd(d01, emul(eadd(d0, d1), d2))
                     slot_val = eadd(slot_val, emul(sel, esub(emul(hb, D), Nv)))
                 combined = add(slot_val, combined, apow)
                 apow = apow * alpha % P

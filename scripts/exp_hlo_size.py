@@ -18,6 +18,7 @@ from plonky2_ecdsa_tpu.prover.data import build_circuit_data
 from plonky2_ecdsa_tpu.prover.prover import Backend, host_prep, prove_core, _register_pytrees
 
 cfg = CircuitConfig(
+    range_lookup_limb_bits=3,
     fri=FriConfig(rate_bits=2, cap_height=1, num_query_rounds=4,
                   proof_of_work_bits=0),
 )

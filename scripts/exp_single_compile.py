@@ -23,6 +23,7 @@ pw = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 stream = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
 
 cfg = CircuitConfig(
+    range_lookup_limb_bits=3,
     fri=FriConfig(rate_bits=2, cap_height=1, num_query_rounds=q,
                   proof_of_work_bits=pw),
 )

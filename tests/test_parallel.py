@@ -37,6 +37,80 @@ def test_mesh_prover_verifies_and_matches_host():
 
 
 @pytest.mark.slow
+def test_two_level_mesh_prover():
+    """(dcn, dp, col) 3-D mesh: batch over dcn x dp, col inside a 'host'
+    (SURVEY.md §7.6 2-level mesh; DCN simulated by virtual CPU devices)."""
+    import jax
+
+    from plonky2_ecdsa_tpu.parallel.mesh import prover_mesh_2level
+
+    assert len(jax.devices()) >= 8
+    circuit = small_demo_circuit().build()
+    data = build_circuit_data(circuit)
+    mesh = prover_mesh_2level(n_hosts=2, chips_per_host=4, col_parallel=2)
+    assert dict(mesh.shape) == {"dcn": 2, "dp": 2, "col": 2}
+    B = 8
+    W, pis = small_demo_witness(circuit, batch=B)
+    run = make_mesh_prover(data, mesh)
+    proof = run(W, pis)
+    assert verify(data, proof)
+    host_proof = prove(data, W, pis)
+    assert np.array_equal(np.asarray(proof.openings0[0][0]),
+                          host_proof.openings0[0][0])
+
+
+@pytest.mark.slow
+def test_dp_scaling_overhead():
+    """Mesh-sharding overhead bound: proving B=8 over a dp=8 mesh must cost
+    <= 1.25x the same 8 lanes on ONE device (>= 0.8 'efficiency').
+
+    On this CI host the 8 virtual devices timeshare the same cores, so
+    absolute speedup is not measurable; what IS measurable — and what this
+    asserts — is that the sharded program adds no serial bottleneck or
+    redundant work on equal compute.  Real-chip scaling runs via bench.py
+    on hardware meshes (BASELINE.md scaling table)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.prover.prover import Backend, host_prep, prove_core
+
+    assert len(jax.devices()) >= 8
+    circuit = small_demo_circuit().build()
+    data = build_circuit_data(circuit)
+    B = 8
+    W, pis = small_demo_witness(circuit, batch=B)
+
+    mesh = prover_mesh(8, col_parallel=1)  # pure dp: the scaling axis
+    run = make_mesh_prover(data, mesh)
+    proof = run(W, pis)  # compile
+    t0 = time.time()
+    for _ in range(3):
+        proof = run(W, pis)
+    t_mesh = (time.time() - t0) / 3
+    assert verify(data, proof)
+
+    bk = Backend(data, jnp)
+    single = jax.jit(lambda w, p, pv: prove_core(data, bk, w, p, pv, jnp))
+    wires_pair, pi_pair, pis_pair = host_prep(data, W, pis)
+    args = (tuple(jnp.asarray(a) for a in wires_pair),
+            tuple(jnp.asarray(a) for a in pi_pair),
+            tuple(jnp.asarray(a) for a in pis_pair))
+    out = single(*args)  # compile
+    t0 = time.time()
+    for _ in range(3):
+        out = single(*args)
+        jax.block_until_ready(out.openings0)
+    t_single = (time.time() - t0) / 3
+
+    efficiency = t_single / t_mesh
+    print(f"dp=8 mesh {t_mesh:.3f}s vs single-device {t_single:.3f}s "
+          f"-> efficiency {efficiency:.2f}")
+    assert efficiency >= 0.8, (t_mesh, t_single)
+
+
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import sys
     sys.path.insert(0, "/root/repo")
