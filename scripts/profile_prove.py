@@ -5,7 +5,10 @@ incremental cost of each stage.  Circuit data + witness are cached to disk so
 reruns skip the ~1 min host build.
 
 Usage: python scripts/profile_prove.py [B] [stage1,stage2,...]
-"""
+
+Set PLONKY2_TPU_TRACE_DIR=/path to additionally capture a jax.profiler trace
+of each stage's steady-state run (open with TensorBoard / Perfetto; the
+per-kernel timeline is the roofline-accounting source for BASELINE.md)."""
 
 import os
 import pickle
@@ -94,6 +97,10 @@ def main():
         np.asarray(jcore(bk, tabs, *args))
         compile_s = time.time() - t0
         reps = 2
+        trace_dir = os.environ.get("PLONKY2_TPU_TRACE_DIR")
+        if trace_dir:
+            with jax.profiler.trace(os.path.join(trace_dir, f"stage_{stage}")):
+                np.asarray(jcore(bk, tabs, *args))
         t0 = time.time()
         for _ in range(reps):
             np.asarray(jcore(bk, tabs, *args))
