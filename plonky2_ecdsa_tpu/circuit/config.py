@@ -68,6 +68,21 @@ class CircuitConfig:
         return CircuitConfig(num_wires=234, num_routed_wires=176)
 
     @staticmethod
+    def standard_recursion_config() -> "CircuitConfig":
+        """plonky2 `standard_recursion_config` analogue (SURVEY.md §2.9;
+        consumed by the reference at src/gadgets/biguint.rs:576): the preset a
+        recursive-verifier circuit would run under — plonky2's 135-wire /
+        80-routed row shape with the 8x-blowup, 28-query FRI parameterization.
+        The gate inventory here is this framework's own, so the preset is
+        shape-compatible rather than byte-compatible."""
+        return CircuitConfig(
+            num_wires=136,  # plonky2 uses 135; rounded even for u32-pair packing
+            num_routed_wires=80,
+            fri=FriConfig(rate_bits=3, cap_height=4, num_query_rounds=28,
+                          proof_of_work_bits=16),
+        )
+
+    @staticmethod
     def dryrun_config() -> "CircuitConfig":
         """Compile-tractable config for the multichip correctness dry run:
         minimal FRI query count, no PoW grinding, cap height 1.  This is a
