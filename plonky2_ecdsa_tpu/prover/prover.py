@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import os
+
 import numpy as np
 
 from ..circuit.gates import PublicInputGate
@@ -414,6 +416,10 @@ def host_prep(data: CircuitData, W, pis: np.ndarray):
 def prove(data: CircuitData, W: np.ndarray, pis: np.ndarray, xp=np,
           backend: Backend | None = None) -> Proof:
     """W: witness matrix [num_wires, n, B] uint64 (host); pis: [B, npis] u64."""
+    if os.environ.get("PLONKY2_TPU_DEBUG") == "1" and not isinstance(W, tuple):
+        from ..utils.debug import assert_witness_ok
+
+        assert_witness_ok(data.circuit, W)
     wires_pair, pi_pair, pis_pair = host_prep(data, W, pis)
     if xp is not np:
         wires_pair = (xp.asarray(wires_pair[0]), xp.asarray(wires_pair[1]))
