@@ -665,6 +665,50 @@ def prover_tables(data: CircuitData, jnp):
     return jax.tree_util.tree_map(jnp.asarray, tabs)
 
 
+# Tape-op output roles whose values are structurally < 2^32 (29-bit limbs,
+# booleans, small in-gate carries, lookup multiplicities).  Used to split the
+# witness upload into a u32 plane + a narrow u64 remainder; every claim here
+# is backed by an assert in the corresponding host fill (the reference's
+# debug-assertion contracts, e.g. mul_nonnative.rs:274-277) AND re-checked
+# loudly at dispatch time (_vals_split).
+_NARROW_ROLES = {
+    "mul_nn": ("q", "r"),            # 29-bit limbs (carries are 34-bit: wide)
+    "inv_nn": ("inv", "q"),
+    "add_nn": ("s", "ovf", "c"),
+    "sub_nn": ("s", "ovf", "c"),
+    "add_many_nn": ("s", "ovf"),     # its in-gate carries can exceed 32 bits
+    "cmp_const": ("d", "brw", "le"),
+    "split": ("bits",),
+    "is_equal": ("eq",),
+    "lookup_mult": ("m_ts",),
+    "range_lookup": ("limbs",),      # device-derived (dropped from upload)
+    "random_access": ("bits",),
+}
+
+
+def _narrow_mask(circuit) -> np.ndarray:
+    """[num_targets] bool: True where the value-table slot is statically
+    known < 2^32 (by tape-op semantics or constant value)."""
+    mask = np.zeros(circuit.num_targets, bool)
+    rm = circuit.read_map
+
+    def mark(v):
+        ids = np.ravel(np.asarray(v, dtype=np.int64))
+        mask[rm[ids]] = True
+
+    for op in circuit.tape:
+        if op.rec is None:
+            continue
+        kind, payload = op.rec
+        for role in _NARROW_ROLES.get(kind, ()):
+            if role in payload:
+                mark(payload[role])
+    for tid, v in circuit.constant_values.items():
+        if int(v) < 1 << 32:
+            mask[rm[tid]] = True
+    return mask
+
+
 def _scatter_maps(data: CircuitData):
     """Static gather maps realizing the witness scatter ON DEVICE.
 
@@ -680,9 +724,22 @@ def _scatter_maps(data: CircuitData):
     cfg = circuit.config
     n = data.n
     T = circuit.num_targets
-    keep_mask = np.ones(T, bool)
+    # Upload only table rows the device actually gathers (wire positions,
+    # PI positions, PI values): the raw table also holds union-find duplicate
+    # rows and tape intermediates that never reach a wire — dead weight on
+    # the host->device link.
+    keep_mask = np.zeros(T, bool)
+    keep_mask[circuit.pos_tids] = True
+    keep_mask[circuit.pi_tids] = True
     keep_mask[circuit.derived_tids] = False
-    keep_ids = np.nonzero(keep_mask)[0]
+    # Order kept slots [narrow | wide] so the upload ships one u32 plane for
+    # the (statically classified) <2^32 values and u32 pairs only for the
+    # rest — less host->device traffic per batch (the tunnel/PCIe upload
+    # is the steady-state serving bottleneck).
+    narrow = _narrow_mask(circuit)
+    keep_ids = np.concatenate([np.nonzero(keep_mask & narrow)[0],
+                               np.nonzero(keep_mask & ~narrow)[0]])
+    num_narrow = int((keep_mask & narrow).sum())
     Kc = len(keep_ids)
     new_of = np.full(T + 1, Kc, np.int64)  # default -> zero slot
     new_of[keep_ids] = np.arange(Kc)
@@ -699,15 +756,7 @@ def _scatter_maps(data: CircuitData):
     layouts = sorted(circuit.range_layouts.items())  # [(bits, (V, nl, lb, rows))]
     rows_arrays = [np.asarray(rows, np.int32) for _, (_V, _nl, _lb, rows) in layouts]
     layout_meta = tuple((bits, V, nl, lb) for bits, (V, nl, lb, _r) in layouts)
-    return imap, imap_pi, pit, keep_ids, rows_arrays, layout_meta
-
-
-def vals_to_pair(vals: np.ndarray):
-    """vals [T, B] u64 -> (lo, hi) u32 [B, T+1] with a trailing zero slot."""
-    B = vals.shape[1]
-    out = np.zeros((B, vals.shape[0] + 1), np.uint64)
-    out[:, :-1] = vals.T
-    return gl.from_u64(out)
+    return imap, imap_pi, pit, keep_ids, num_narrow, rows_arrays, layout_meta
 
 
 def _pack_spec(proof_struct):
@@ -770,7 +819,9 @@ def make_jit_prover(data: CircuitData):
     # reject multi-100MB literal-laden modules).
     use_params = jax.devices()[0].platform != "cpu"
 
-    imap, imap_pi, pi_tids32, keep_ids, rows_arrays, layout_meta = _scatter_maps(data)
+    (imap, imap_pi, pi_tids32, keep_ids, num_narrow, rows_arrays,
+     layout_meta) = _scatter_maps(data)
+    keep_n, keep_w = keep_ids[:num_narrow], keep_ids[num_narrow:]
     maps = (jnp.asarray(imap), jnp.asarray(imap_pi), jnp.asarray(pi_tids32),
             tuple(jnp.asarray(r) for r in rows_arrays))
     spec_cell: dict = {}
@@ -799,8 +850,11 @@ def make_jit_prover(data: CircuitData):
             # already put 0s there
         return wl, wh
 
-    def _expand(maps, vals_pair):
+    def _expand(maps, vals_split):
         im, ipi, pit, rows_dev = maps
+        vn, wlo, whi = vals_split  # [B,Tn] u32, [B,Tw+1] u32 pair (zero slot)
+        vals_pair = (jnp.concatenate([vn, wlo], axis=1),
+                     jnp.concatenate([jnp.zeros_like(vn), whi], axis=1))
         B = vals_pair[0].shape[0]
         wl = vals_pair[0][:, im].reshape(B, cfgw, n)
         wh = vals_pair[1][:, im].reshape(B, cfgw, n)
@@ -856,12 +910,29 @@ def make_jit_prover(data: CircuitData):
         proof.pis = np.asarray(pis)
         return proof
 
+    def _vals_split(vals: np.ndarray):
+        """[T, B] u64 value table -> (narrow u32 [B,Tn], wide pair [B,Tw+1]).
+
+        The narrow plane's <2^32 claim comes from static tape-op semantics
+        (_NARROW_ROLES); re-checked here so a misclassification aborts the
+        prove loudly instead of silently truncating a witness value."""
+        vn = vals[keep_n]
+        over = vn >> np.uint64(32)
+        if over.any():
+            bad = keep_n[np.nonzero(over.any(axis=1))[0][:5]]
+            raise AssertionError(
+                f"narrow-classified witness targets exceed 32 bits: {bad}")
+        w = np.zeros((vals.shape[1], len(keep_w) + 1), np.uint64)
+        w[:, :-1] = vals[keep_w].T
+        wlo, whi = gl.from_u64(w)
+        return vn.T.astype(np.uint32), wlo, whi
+
     def dispatch_vals(vals: np.ndarray, pis: np.ndarray):
-        """Async: upload the COMPACTED value table (derived targets dropped)
-        + enqueue the prove; returns a handle for collect().  Dispatching
-        batch k+1 before collecting batch k pipelines upload/compute/readback
-        across batches."""
-        return core_vals(vals_to_pair(vals[keep_ids])), pis
+        """Async: upload the COMPACTED value table (derived targets dropped,
+        u32 plane for statically-narrow values) + enqueue the prove; returns
+        a handle for collect().  Dispatching batch k+1 before collecting
+        batch k pipelines upload/compute/readback across batches."""
+        return core_vals(_vals_split(vals)), pis
 
     def collect(handle) -> Proof:
         buf, pis = handle
