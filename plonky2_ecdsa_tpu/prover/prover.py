@@ -478,6 +478,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
         gammas.append(ch.get_challenge())
     lk = data.lookup
     lk_alphas = [ch.get_challenge() for _ in range(C)] if lk is not None else []
+    if stop_after == 'challenges':
+        return betas, gammas, lk_alphas
 
     # ---- permutation grand products ---------------------------------------
     routed = (wires_pair[0][:, :nr], wires_pair[1][:, :nr])  # [B, nr, n]
@@ -511,6 +513,8 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
                 zs_list_lo.append(plo)
                 zs_list_hi.append(phi)
     zs_vals = (xp.stack(zs_list_lo, 1), xp.stack(zs_list_hi, 1))
+    if stop_after == 'zs_vals':
+        return zs_vals
     if shard is not None:
         zs_coeffs, zs_lde, zs_tree = _lde_commit_sharded(zs_vals, n, N, caph, xp, shard)
     else:
