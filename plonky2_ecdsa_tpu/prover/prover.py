@@ -73,6 +73,29 @@ def _prefix_prod_exclusive(lo, hi, xp):
             xp.concatenate([ohi, hi[..., :-1]], -1))
 
 
+def _suffix_prod_exclusive(lo, hi, xp):
+    """Exclusive modular suffix product over the last axis (log-depth scan).
+
+    Mirror of _prefix_prod_exclusive using only positive-offset slices:
+    reverse (negative-stride) views feeding the doubling scan MISCOMPILE on
+    the TPU toolchain at non-tile-aligned lengths (deterministically wrong
+    values at k=155, any batch size — scripts/debug_binv.py K=155), so the
+    reversed-prefix formulation is banned in device code."""
+    n = lo.shape[-1]
+    shift = 1
+    while shift < n:
+        olo = xp.ones(lo.shape[:-1] + (shift,), xp.uint32)
+        ohi = xp.zeros_like(olo)
+        slo = xp.concatenate([lo[..., shift:], olo], -1)
+        shi = xp.concatenate([hi[..., shift:], ohi], -1)
+        lo, hi = gl.mul(lo, hi, slo, shi)
+        shift *= 2
+    olo = xp.ones(lo.shape[:-1] + (1,), xp.uint32)
+    ohi = xp.zeros_like(olo)
+    return (xp.concatenate([lo[..., 1:], olo], -1),
+            xp.concatenate([hi[..., 1:], ohi], -1))
+
+
 def _ext_from_base(pair, xp):
     z = (xp.zeros_like(pair[0]), xp.zeros_like(pair[1]))
     return (pair, z)
@@ -979,25 +1002,45 @@ def _sum_pairs_axis(lo, hi, axis, xp):
     return _sum_last((xp.moveaxis(lo, axis, -1), xp.moveaxis(hi, axis, -1)), xp)
 
 
+def _seal(pair, xp):
+    """Fusion fence (identity): jax.lax.optimization_barrier on device paths.
+
+    XLA:TPU miscompile guard, found round 3: at the full ECDSA-circuit scale
+    with B=32 lanes, fusing the Montgomery batch-inversion chain into its
+    consumers (quotient/grand-product muls) produced DETERMINISTICALLY WRONG
+    inverse values on the chip — while the identical HLO at B<=16, or with any
+    output-set change, or on XLA:CPU, was bit-exact vs numpy
+    (scripts/debug_shrink*.py hold the minimized repro ladder).  Sealing the
+    inverse output is an identity op that only pins a fusion boundary."""
+    if xp is np:
+        return pair
+    import jax
+
+    return tuple(jax.lax.optimization_barrier(pair))
+
+
 def _batch_inverse_axis1(pair, xp):
     """Montgomery batch inversion along axis 1 of [B, k, n] pairs: one
     Fermat ladder on the k-product instead of k ladders, with the prefix and
     suffix product chains computed as LOG-DEPTH doubling scans (2*ceil(log2 k)
     tensor muls instead of 2k — at the LogUp helper width k~77 the sequential
-    form dominated the traced module).  inv_i = prefix_i * suffix_i * tot^-1."""
+    form dominated the traced module).  inv_i = prefix_i * suffix_i * tot^-1.
+
+    Output is _seal'd: fused-into-consumer compilation of this chain
+    miscompiles on TPU at large batch shapes (see _seal)."""
     lo, hi = pair
     k = lo.shape[1]
     if k == 1:
-        return gl.inverse(lo, hi)
+        return _seal(gl.inverse(lo, hi), xp)
+    lo, hi = _seal((lo, hi), xp)  # fence the producer graph out, too
     plo, phi = xp.moveaxis(lo, 1, -1), xp.moveaxis(hi, 1, -1)  # [B, n, k]
     pre = _prefix_prod_exclusive(plo, phi, xp)
-    suf = _prefix_prod_exclusive(plo[..., ::-1], phi[..., ::-1], xp)
-    suf = (suf[0][..., ::-1], suf[1][..., ::-1])
+    suf = _suffix_prod_exclusive(plo, phi, xp)
     tot = gl.mul(pre[0][..., -1], pre[1][..., -1], plo[..., -1], phi[..., -1])
     tinv = gl.inverse(*tot)
     a = gl.mul(*pre, *suf)
     o = gl.mul(*a, tinv[0][..., None], tinv[1][..., None])
-    return xp.moveaxis(o[0], -1, 1), xp.moveaxis(o[1], -1, 1)
+    return _seal((xp.moveaxis(o[0], -1, 1), xp.moveaxis(o[1], -1, 1)), xp)
 
 
 def _chunk_prod(pair, chunk):
@@ -1306,8 +1349,12 @@ def _reduced_poly(data, bk, layout, wires_lde, zs_lde, quot_lde, openings0,
         Nc = xc[0].shape[-1]
         shape = (B, Nc)
         x_ext = _ext_from_base(_bc(xc, shape, xp), xp)
+        # sealed: same inverse-fused-into-consumers shape as the batch
+        # inversion the TPU miscompiles at scale (see _seal)
         inv0 = gl.ext_inverse(gl.ext_sub(x_ext, _ext_bc(zeta, shape, xp)))
         inv1 = gl.ext_inverse(gl.ext_sub(x_ext, _ext_bc(gzeta, shape, xp)))
+        inv0 = (_seal(inv0[0], xp), _seal(inv0[1], xp))
+        inv1 = (_seal(inv1[0], xp), _seal(inv1[1], xp))
         # all committed polys stacked [B, T, Nc] (base; order = layout order)
         plo = xp.concatenate([
             xp.broadcast_to(fixed[0][None], (B,) + fixed[0].shape),

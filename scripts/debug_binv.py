@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from plonky2_ecdsa_tpu.fields import goldilocks as gl
 from plonky2_ecdsa_tpu.prover.prover import (_batch_inverse_axis1,
-                                             _prefix_prod_exclusive)
+                                             _prefix_prod_exclusive,
+                                             _suffix_prod_exclusive)
 
 rng = np.random.default_rng(5)
 K = int(os.environ.get("K", "20"))
@@ -29,8 +30,7 @@ def pieces(pair, xp):
     lo, hi = pair
     plo, phi = xp.moveaxis(lo, 1, -1), xp.moveaxis(hi, 1, -1)  # [B, n, k]
     pre = _prefix_prod_exclusive(plo, phi, xp)
-    suf = _prefix_prod_exclusive(plo[..., ::-1], phi[..., ::-1], xp)
-    suf = (suf[0][..., ::-1], suf[1][..., ::-1])
+    suf = _suffix_prod_exclusive(plo, phi, xp)
     tot = gl.mul(pre[0][..., -1], pre[1][..., -1], plo[..., -1], phi[..., -1])
     tinv = gl.inverse(*tot)
     a = gl.mul(*pre, *suf)

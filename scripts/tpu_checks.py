@@ -52,6 +52,23 @@ def main():
     print(f"gl.mul device parity: {'OK' if ok else 'FAIL'}")
     assert ok
 
+    # --- batch-inverse scan parity at the LogUp width ----------------------
+    # Regression guard for the round-3 miscompile: the reversed-view suffix
+    # scan produced wrong values at k=155 (LogUp denominator width) on TPU;
+    # _suffix_prod_exclusive (positive-offset form) must match numpy exactly.
+    from plonky2_ecdsa_tpu.prover.prover import _batch_inverse_axis1
+
+    for B, k in [(4, 155), (32, 155), (32, 20)]:
+        v = rng.integers(1, gl.P, (B, k, 512), dtype=np.uint64)
+        pair = gl.from_u64(v)
+        host = _batch_inverse_axis1(pair, np)
+        dev = jax.jit(lambda p: _batch_inverse_axis1(p, jnp))(
+            (jnp.asarray(pair[0]), jnp.asarray(pair[1])))
+        ok = (np.array_equal(np.asarray(dev[0]), host[0])
+              and np.array_equal(np.asarray(dev[1]), host[1]))
+        print(f"batch_inverse parity B={B} k={k}: {'OK' if ok else 'FAIL'}")
+        assert ok
+
     # --- throughput (dependent-chain timing: defeats async caching) --------
     if on_tpu:
         lo = jnp.asarray(rng.integers(0, 1 << 31, (12, 1 << 17),

@@ -372,3 +372,43 @@ def test_ntt_pallas_four_step_interpret(rng):
                                interpret=True)
     assert np.array_equal(np.asarray(got[0]), want[0])
     assert np.array_equal(np.asarray(got[1]), want[1])
+
+
+def test_prefix_suffix_scans_and_batch_inverse(rng):
+    """Semantics of the log-depth scans + Montgomery batch inverse at the
+    production LogUp width k=155 (round-3 regression: the old reversed-view
+    suffix scan miscompiled on TPU at exactly this non-tile-aligned width;
+    scripts/tpu_checks.py carries the on-device parity guard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.prover.prover import (
+        _batch_inverse_axis1, _prefix_prod_exclusive, _suffix_prod_exclusive)
+
+    for k in (1, 2, 20, 155):
+        v = rng.integers(1, P, size=(2, 3, k), dtype=np.uint64)
+        pair = gl.from_u64(v)
+        pre = gl.to_u64(*_prefix_prod_exclusive(*pair, np))
+        suf = gl.to_u64(*_suffix_prod_exclusive(*pair, np))
+        for b in range(2):
+            for r in range(3):
+                acc = 1
+                for i in range(k):
+                    assert int(pre[b, r, i]) == acc
+                    acc = acc * int(v[b, r, i]) % P
+                acc = 1
+                for i in reversed(range(k)):
+                    assert int(suf[b, r, i]) == acc
+                    acc = acc * int(v[b, r, i]) % P
+        # batch inverse: numpy path and jitted jnp path both invert exactly
+        inv_np = _batch_inverse_axis1((pair[0].transpose(0, 2, 1),
+                                       pair[1].transpose(0, 2, 1)), np)
+        got = gl.to_u64(*inv_np)
+        vv = v.transpose(0, 2, 1)
+        for idx in np.ndindex(2, k, 3):
+            assert int(got[idx]) == pow(int(vv[idx]), P - 2, P)
+        jinv = jax.jit(lambda p: _batch_inverse_axis1(p, jnp))(
+            (jnp.asarray(pair[0].transpose(0, 2, 1)),
+             jnp.asarray(pair[1].transpose(0, 2, 1))))
+        assert np.array_equal(np.asarray(jinv[0]), inv_np[0])
+        assert np.array_equal(np.asarray(jinv[1]), inv_np[1])
