@@ -14,7 +14,13 @@ proofs/s — the midpoint anchor derived from plonky2's published 170 ms /
 rows on CI-class hardware.
 
 Env knobs: BENCH_BATCH (default: platform-dependent), BENCH_REPS (default 3),
-BENCH_SMALL=1 benches the nonnative-mul-chain microcircuit instead.
+BENCH_SMALL=1 benches the nonnative-mul-chain microcircuit instead,
+BENCH_P256=1 benches the P-256 ECDSA circuit (windowed mul path) instead of
+secp256k1/GLV.
+
+Every proof in the pipelined stream is verified (after the timed section, so
+host-side verification does not distort the device throughput measurement);
+any invalid proof aborts the bench.
 """
 
 import json
@@ -76,13 +82,14 @@ def main():
     from plonky2_ecdsa_tpu import api
     from plonky2_ecdsa_tpu.curve import native as cn
 
+    curve = cn.P256 if os.environ.get("BENCH_P256") == "1" else cn.SECP256K1
     # streaming commit + chunked quotient + n=2^14 keep B=32 inside v5e HBM
     B = int(os.environ.get("BENCH_BATCH", "32" if on_device else "1"))
     t0 = time.time()
-    system = api.EcdsaProverSystem(cn.SECP256K1)
+    system = api.EcdsaProverSystem(curve)
     build_s = time.time() - t0
     t0 = time.time()
-    all_stmts = [api.random_statements(cn.SECP256K1, B, seed=3 + k)
+    all_stmts = [api.random_statements(curve, B, seed=3 + k)
                  for k in range(reps)]
     stmts_s = time.time() - t0
     t0 = time.time()
@@ -114,6 +121,7 @@ def main():
     th.start()
     done = 0
     pending = None
+    proofs = []
     while True:
         item = q.get()
         if item is None:
@@ -122,21 +130,24 @@ def main():
         # before collecting batch k's proof, so transfer overlaps compute
         handle = run.dispatch_vals(*item)
         if pending is not None:
-            proof = run.collect(pending)
+            proofs.append(run.collect(pending))
             done += 1
         pending = handle
     if pending is not None:
-        proof = run.collect(pending)
+        proofs.append(run.collect(pending))
         done += 1
     th.join()
     dt = (time.time() - t0) / done
-    assert system.verify(proof), "bench steady-state proof failed verification"
+    # verify EVERY streamed proof (outside the timed section: host-side
+    # verification must not distort the device throughput measurement)
+    for i, pf in enumerate(proofs):
+        assert system.verify(pf), f"bench batch {i} proof failed verification"
     value = B / dt
     print(f"# platform={platform} B={B} n={system.n} build={build_s:.1f}s "
           f"witness={wit_s:.1f}s data={data_s:.1f}s compile={compile_s:.1f}s "
           f"steady={dt:.2f}s/batch (pipelined, {done} batches)", file=sys.stderr)
     print(json.dumps({
-        "metric": "secp256k1_ecdsa_proofs_per_sec_per_chip",
+        "metric": f"{curve.name}_ecdsa_proofs_per_sec_per_chip",
         "value": round(value, 3), "unit": "proofs/s",
         "vs_baseline": round(value / RUST_CPU_PROOFS_PER_SEC_EST, 2),
     }))
