@@ -55,6 +55,20 @@ class Gate:
         """Return list of constraint values (algebra elements)."""
         raise NotImplementedError
 
+    def eval_circuit(self, builder, wires, consts, ctx=None):
+        """Evaluate this gate's constraints in-circuit over ExtTarget wires.
+
+        plonky2 `eval_unfiltered_circuit` analogue (reference
+        src/gates/mul_nonnative.rs:132-166): `wires`/`consts` are ExtTarget
+        openings (in a recursive verifier: the proof's claimed openings at
+        zeta); returns constraint values as ExtTargets.  Defined here on the
+        base class (not monkeypatched from circuit.recursion) so availability
+        never depends on import order; the algebra adapter lives in
+        circuit.recursion."""
+        from .recursion import CircuitExtAlgebra
+
+        return self.eval(CircuitExtAlgebra(builder), wires, consts, ctx or {})
+
     def __repr__(self):
         return self.gate_id()
 

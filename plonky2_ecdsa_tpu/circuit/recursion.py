@@ -20,7 +20,6 @@ in-circuit half of plonky2's `test_eval_fns` harness
 from __future__ import annotations
 
 from ..fields.goldilocks import P
-from .gates import Gate
 
 # Quadratic non-residue defining the extension: GF(p^2) = GF(p)[x]/(x^2 - W)
 # (fields/goldilocks.py ext_mul uses the same W).
@@ -108,14 +107,6 @@ class CircuitExtAlgebra:
         return val
 
 
-def _gate_eval_circuit(self, builder, wires, consts, ctx=None):
-    """Evaluate this gate's constraints in-circuit over ExtTarget wires.
-
-    `eval_unfiltered_circuit` analogue (mul_nonnative.rs:132-166): `wires` /
-    `consts` are ExtTarget openings (in a recursive verifier: the proof's
-    claimed openings at zeta); returns the constraint values as ExtTargets.
-    """
-    return self.eval(CircuitExtAlgebra(builder), wires, consts, ctx or {})
-
-
-Gate.eval_circuit = _gate_eval_circuit
+# Gate.eval_circuit (the eval_unfiltered_circuit analogue) is defined on the
+# Gate base class in circuit/gates.py, delegating to CircuitExtAlgebra here —
+# available regardless of whether this module was imported (ADVICE r2).

@@ -820,6 +820,10 @@ def _unpack_proof(buf: np.ndarray, spec):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+class _NarrowMisclassification(AssertionError):
+    """A statically narrow-classified witness value exceeded 32 bits."""
+
+
 def make_jit_prover(data: CircuitData):
     """Returns prove_fn(W, pis) running the full pipeline under jax.jit.
 
@@ -941,29 +945,56 @@ def make_jit_prover(data: CircuitData):
         """[T, B] u64 value table -> (narrow u32 [B,Tn], wide pair [B,Tw+1]).
 
         The narrow plane's <2^32 claim comes from static tape-op semantics
-        (_NARROW_ROLES); re-checked here so a misclassification aborts the
-        prove loudly instead of silently truncating a witness value."""
+        (_NARROW_ROLES); re-checked here so a misclassification is caught
+        loudly instead of silently truncating a witness value."""
         vn = vals[keep_n]
         over = vn >> np.uint64(32)
         if over.any():
             bad = keep_n[np.nonzero(over.any(axis=1))[0][:5]]
-            raise AssertionError(
+            raise _NarrowMisclassification(
                 f"narrow-classified witness targets exceed 32 bits: {bad}")
         w = np.zeros((vals.shape[1], len(keep_w) + 1), np.uint64)
         w[:, :-1] = vals[keep_w].T
         wlo, whi = gl.from_u64(w)
         return vn.T.astype(np.uint32), wlo, whi
 
+    _expand_map_cell: dict = {}
+
+    def _expand_host(vals: np.ndarray):
+        """Availability fallback (ADVICE r2): expand the value table to the
+        full [num_wires, n, B] witness on the HOST (raw table rows via
+        read_map — derived range limbs are present in the raw table) so a
+        narrow-plane misclassification degrades to the wide `run()` path
+        instead of aborting the prove.  Slower (bigger upload + separate jit
+        module) but correct for any value range."""
+        if "map" not in _expand_map_cell:
+            full = np.full(cfgw * n, vals.shape[0], np.int64)  # -> zero slot
+            full[circuit.pos_cols * n + circuit.pos_rows] = \
+                circuit.read_map[circuit.pos_tids]
+            _expand_map_cell["map"] = full
+        B = vals.shape[1]
+        vz = np.concatenate([vals, np.zeros((1, B), np.uint64)])
+        return vz[_expand_map_cell["map"], :].reshape(cfgw, n, B)
+
     def dispatch_vals(vals: np.ndarray, pis: np.ndarray):
         """Async: upload the COMPACTED value table (derived targets dropped,
         u32 plane for statically-narrow values) + enqueue the prove; returns
         a handle for collect().  Dispatching batch k+1 before collecting
         batch k pipelines upload/compute/readback across batches."""
-        return core_vals(_vals_split(vals)), pis
+        try:
+            return ("vals", core_vals(_vals_split(vals))), pis
+        except _NarrowMisclassification as e:
+            import sys
+
+            print(f"[prover] WARNING: {e}; falling back to the wide witness "
+                  "path for this batch", file=sys.stderr)
+            return ("wide", run(_expand_host(vals), pis)), pis
 
     def collect(handle) -> Proof:
-        buf, pis = handle
-        proof = _unpack_proof(np.asarray(buf), spec_cell["spec"])
+        (kind, payload), pis = handle
+        if kind == "wide":  # fallback path already produced a host Proof
+            return payload
+        proof = _unpack_proof(np.asarray(payload), spec_cell["spec"])
         proof.pis = np.asarray(pis)
         return proof
 

@@ -57,7 +57,12 @@ def witness_violations(circuit, W, xp=np) -> dict:
             top_cols = np.array([gate.wire_limb(v, gate.num_limbs - 1)
                                  for v in range(gate.num_vals)])
             tops = W[top_cols][:, rows, :]
-            lbad = lbad + (tops * np.uint64(gate.scale) >> np.uint64(lb)).sum()
+            # only scale-check tops that already pass the plain limb bound:
+            # a wildly corrupt top could wrap tops*scale in u64 and
+            # under-count (it is already counted by the plain check above)
+            in_range = tops < np.uint64(1 << lb)
+            scaled_bad = (tops * np.uint64(gate.scale) >> np.uint64(lb)) != 0
+            lbad = lbad + (in_range & scaled_bad).sum()
         lkey = f"lookup_limb_{gate.bits}"
         out[lkey] = out.get(lkey, 0) + lbad
     return out
