@@ -98,3 +98,45 @@ def test_standard_recursion_config_preset():
     assert cfg.num_routed_wires == 80
     assert cfg.fri.rate_bits == 3
     assert cfg.fri.num_query_rounds == 28
+
+
+def test_constraint_identity_in_circuit():
+    """Full combined constraint identity at zeta, re-evaluated IN-CIRCUIT
+    from a real proof's openings (VERDICT r2 next #8): the verifier-circuit
+    skeleton must accept the honest proof and reject a tampered opening."""
+    from plonky2_ecdsa_tpu.circuit.examples import (small_demo_circuit,
+                                                    small_demo_witness)
+    from plonky2_ecdsa_tpu.circuit.recursive_verifier import (
+        add_constraint_identity_check, verifier_inputs_from_proof)
+    from plonky2_ecdsa_tpu.prover.data import build_circuit_data
+    from plonky2_ecdsa_tpu.prover.prover import prove
+    from plonky2_ecdsa_tpu.prover.verifier import verify
+
+    circuit = small_demo_circuit().build()
+    data = build_circuit_data(circuit)
+    W, pis = small_demo_witness(circuit, 2)
+    proof = prove(data, W, pis)
+    assert verify(data, proof)
+
+    vb = CircuitBuilder(CircuitConfig.test_config())
+    handles = add_constraint_identity_check(vb, data)
+    vc = vb.build()
+    inputs = verifier_inputs_from_proof(data, proof)
+    assert inputs["open0"].shape[1] == 2 * handles["total"]
+    VW = vc.generate_witness(inputs, 2)
+    vpis = vc.public_input_values()
+    assert check_constraints(vc, VW, vpis) == {}
+    # the bound public inputs expose exactly the openings + challenges
+    want = np.concatenate([inputs["open0"], inputs["open1"], inputs["zeta"],
+                           inputs["alphas"], inputs["betas"],
+                           inputs["gammas"], inputs["lk_alphas"],
+                           inputs["pis"]], axis=1)
+    assert np.array_equal(vpis, want)
+
+    # negative: tamper a wire opening -> the in-circuit identity must break
+    bad = {k: np.array(v, copy=True) for k, v in inputs.items()}
+    bad["open0"][0, 2] ^= 1
+    VW2 = vc.generate_witness(bad, 2)
+    failures = check_constraints(vc, VW2, vc.public_input_values(),
+                                 raise_on_fail=False)
+    assert failures, "tampered opening passed the in-circuit identity"
