@@ -540,6 +540,11 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
         return zs_vals
     if shard is not None:
         zs_coeffs, zs_lde, zs_tree = _lde_commit_sharded(zs_vals, n, N, caph, xp, shard)
+    elif B >= 48:
+        # large batches: the plain commit holds ~4 full [B, k, N] copies of
+        # the zs columns live at once; the streaming (fori_loop) commit is
+        # bit-identical and bounds peak HBM (B=64 OOM'd by 1.7G without it)
+        zs_coeffs, zs_lde, zs_tree = _lde_commit_wires_stream(zs_vals, n, N, caph, xp)
     else:
         zs_coeffs, zs_lde, zs_tree = _lde_commit(zs_vals, n, N, caph, xp)
     if stop_after == 'zs':
@@ -1097,12 +1102,13 @@ def _ext_mul_base_const(e, c: int):
     return (gl.mul(*e[0], *cp), gl.mul(*e[1], *cp))
 
 
-def _quotient_num_chunks(N: int, xp) -> int:
+def _quotient_num_chunks(N: int, xp, B: int = 32) -> int:
     """Domain-chunk count for the quotient pass: bounds peak temporaries
-    (per-gate [nw, B, Nc] broadcasts) at large batch sizes."""
+    (per-gate [nw, B, Nc] broadcasts) at large batch sizes; scales with the
+    batch so the per-chunk working set stays roughly constant."""
     if xp is np:
         return 1
-    return max(1, N // (1 << 14))
+    return max(1, (N // (1 << 14)) * max(1, B // 32))
 
 
 def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
@@ -1307,7 +1313,7 @@ def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
         ax, ns = shard
         Nloc = N // ns
         base = jax.lax.axis_index(ax) * Nloc
-        nch = _quotient_num_chunks(Nloc, xp)
+        nch = _quotient_num_chunks(Nloc, xp, B)
         Nc = Nloc // nch
         out_lo = xp.zeros((B, C, Nloc), xp.uint32)
         out_hi = xp.zeros((B, C, Nloc), xp.uint32)
@@ -1323,7 +1329,7 @@ def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,
         loc = lax.fori_loop(0, nch, sbody, (out_lo, out_hi))
         return _shard_gather(loc, ax, 2)
 
-    nch = _quotient_num_chunks(N, xp)
+    nch = _quotient_num_chunks(N, xp, B)
     if nch == 1:
         return eval_chunk(lambda a: a)
 
@@ -1421,7 +1427,7 @@ def _reduced_poly(data, bk, layout, wires_lde, zs_lde, quot_lde, openings0,
         ax, ns = shard
         Nloc = N // ns
         base = jax.lax.axis_index(ax) * Nloc
-        nch = _quotient_num_chunks(Nloc, xp)
+        nch = _quotient_num_chunks(Nloc, xp, B)
         Nc = Nloc // nch
         out = tuple((xp.zeros((B, Nloc), xp.uint32), xp.zeros((B, Nloc), xp.uint32))
                     for _ in range(2))
@@ -1438,7 +1444,7 @@ def _reduced_poly(data, bk, layout, wires_lde, zs_lde, quot_lde, openings0,
         loc = lax.fori_loop(0, nch, sbody, out)
         return tuple(_shard_gather(loc[c], ax, 1) for c in range(2))
 
-    nch = _quotient_num_chunks(N, xp)
+    nch = _quotient_num_chunks(N, xp, B)
     if nch == 1:
         return eval_chunk(lambda a: a)
 

@@ -129,3 +129,41 @@ def test_graft_entry_compiles():
 
     fn, args = ge.entry()
     jax.jit(fn).lower(*args).compile()
+
+
+@pytest.mark.slow
+def test_two_level_mesh_production_shape():
+    """(dcn, dp, col) mesh on the PRODUCTION ECDSA circuit shape (n=2^13,
+    128 wires, limb_bits=13, C=2; FRI queries reduced) — VERDICT r2 next #5:
+    the col-axis all_gathers must run against real shapes, bit-identical to
+    the host prover.  The (dp, col) production case is the driver dryrun
+    (__graft_entry__.dryrun_multichip)."""
+    import jax
+
+    from plonky2_ecdsa_tpu import api
+    from plonky2_ecdsa_tpu.circuit.config import CircuitConfig, FriConfig
+    from plonky2_ecdsa_tpu.curve import native as cn
+    from plonky2_ecdsa_tpu.parallel.mesh import prover_mesh_2level
+
+    assert len(jax.devices()) >= 8
+    cfg = CircuitConfig(fri=FriConfig(rate_bits=2, cap_height=1,
+                                      num_query_rounds=2,
+                                      proof_of_work_bits=0))
+    system = api.EcdsaProverSystem(cn.SECP256K1, config=cfg)
+    assert system.n == 8192
+    mesh = prover_mesh_2level(n_hosts=2, chips_per_host=4, col_parallel=2)
+    assert dict(mesh.shape) == {"dcn": 2, "dp": 2, "col": 2}
+    B = 4
+    W, pis = system.witness(api.random_statements(cn.SECP256K1, B, seed=7))
+    run = make_mesh_prover(system.data, mesh)
+    proof = run(W, pis)
+    assert verify(system.data, proof)
+    # bit-identity vs host: lane 0 only (lanes are fully independent, so a
+    # B=1 host prove gives exact lane-0 ground truth at 1/4 the numpy cost)
+    host_proof = prove(system.data, W[:, :, :1], pis[:1])
+    assert np.array_equal(np.asarray(proof.openings0[0][0])[0],
+                          host_proof.openings0[0][0][0])
+    assert np.array_equal(np.asarray(proof.wires_cap[0])[0],
+                          host_proof.wires_cap[0][0])
+    assert np.array_equal(np.asarray(proof.zs_cap[0])[0],
+                          host_proof.zs_cap[0][0])
