@@ -82,6 +82,17 @@ def main():
     from plonky2_ecdsa_tpu import api
     from plonky2_ecdsa_tpu.curve import native as cn
 
+    if on_device and os.environ.get("BENCH_SKIP_PREFLIGHT") != "1":
+        # on-chip miscompile preflight (fail fast BEFORE the timed run):
+        # Pallas Poseidon / gl.mul / batch-inverse-scan parity vs numpy —
+        # the check classes that caught the r2/r3 TPU miscompiles
+        from scripts.tpu_checks import parity_checks
+
+        t0 = time.time()
+        parity_checks(log=lambda m: print(f"# preflight {m}", file=sys.stderr))
+        print(f"# preflight parity checks OK ({time.time()-t0:.1f}s)",
+              file=sys.stderr)
+
     curve = cn.P256 if os.environ.get("BENCH_P256") == "1" else cn.SECP256K1
     # streaming commit + chunked quotient + n=2^14 keep B=32 inside v5e HBM
     B = int(os.environ.get("BENCH_BATCH", "32" if on_device else "1"))
@@ -139,9 +150,15 @@ def main():
     th.join()
     dt = (time.time() - t0) / done
     # verify EVERY streamed proof (outside the timed section: host-side
-    # verification must not distort the device throughput measurement)
-    for i, pf in enumerate(proofs):
-        assert system.verify(pf), f"bench batch {i} proof failed verification"
+    # verification must not distort the device throughput measurement).
+    # NOTE peak host memory is proportional to BENCH_BATCH x BENCH_REPS:
+    # every streamed Proof (incl. full FRI query data) is held until the
+    # timed loop ends; pop-verify drops each as soon as it is checked.
+    i = 0
+    while proofs:
+        assert system.verify(proofs.pop(0)), \
+            f"bench batch {i} proof failed verification"
+        i += 1
     value = B / dt
     print(f"# platform={platform} B={B} n={system.n} build={build_s:.1f}s "
           f"witness={wit_s:.1f}s data={data_s:.1f}s compile={compile_s:.1f}s "

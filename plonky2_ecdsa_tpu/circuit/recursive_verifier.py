@@ -262,34 +262,16 @@ def add_constraint_identity_check(b, data: CircuitData):
 
 
 def derive_challenges(data: CircuitData, proof):
-    """Replay the verifier transcript up to zeta (host numpy; mirrors
-    verify_strict).  Returns per-lane u64 arrays for feeding the in-circuit
-    identity check."""
+    """Replay the verifier transcript up to zeta via the SHARED helper
+    (prover.verifier.replay_challenges_to_zeta — one source of truth for the
+    schedule prefix, ADVICE r3).  Returns per-lane u64 arrays for feeding the
+    in-circuit identity check."""
     from ..fields import goldilocks as gl
-    from ..prover.challenger import Challenger
+    from ..prover.verifier import replay_challenges_to_zeta
 
-    circuit = data.circuit
-    cfg = circuit.config
-    C = cfg.num_challenges
     B = proof.pis.shape[0]
-    shape = (B,)
-    ch = Challenger(np, shape)
-    fixed_cap = data.fixed_tree.cap
-    ch.observe_cap((np.broadcast_to(fixed_cap[0], shape + fixed_cap[0].shape),
-                    np.broadcast_to(fixed_cap[1], shape + fixed_cap[1].shape)))
-    for i in range(proof.pis.shape[1]):
-        ch.observe_u64(proof.pis[:, i])
-    ch.observe_cap(proof.wires_cap)
-    betas, gammas = [], []
-    for _ in range(C):
-        betas.append(ch.get_challenge())
-        gammas.append(ch.get_challenge())
-    lk_alphas = ([ch.get_challenge() for _ in range(C)]
-                 if data.lookup is not None else [])
-    ch.observe_cap(proof.zs_cap)
-    alphas = [ch.get_challenge() for _ in range(C)]
-    ch.observe_cap(proof.quotient_cap)
-    zeta = ch.get_ext()
+    (_ch, betas, gammas, lk_alphas, alphas, zeta,
+     _z_idx) = replay_challenges_to_zeta(data, proof)
     u64 = lambda p: gl.to_u64(*p)
     return {
         "betas": np.stack([u64(x) for x in betas], 1),

@@ -380,6 +380,31 @@ def affine_summation_batch_inversion(points) -> Point:
     return pts[0]
 
 
+# Reference cutoff (curve_summation.rs:29-40): below this many pairwise sums
+# the per-batch inversion overhead outweighs the saved per-add inversions.
+PAIRWISE_SUM_CUTOFF = 70
+
+
+def affine_summation_pairwise(points) -> Point:
+    """Sum via sequential generic adds (curve_summation.rs:44-68 semantics:
+    the small-list path, no batch inversion)."""
+    if not points:
+        return None
+    acc = points[0].curve.zero()
+    for q in points:
+        acc = acc + q
+    return acc
+
+
+def affine_multisummation_best(points) -> Point:
+    """Heuristic dispatch between the pairwise and batch-inversion summation
+    (curve_summation.rs:29-40: switch at 70 pairwise sums — a list of k
+    points costs ~k pairwise sums across the halving recursion)."""
+    if len(points) < PAIRWISE_SUM_CUTOFF:
+        return affine_summation_pairwise(points)
+    return affine_summation_batch_inversion(points)
+
+
 def _batch_inverse(vals, p):
     """Montgomery trick: n inversions with 1 modular inverse + 3n muls."""
     if not vals:

@@ -985,7 +985,13 @@ def make_jit_prover(data: CircuitData):
         """Async: upload the COMPACTED value table (derived targets dropped,
         u32 plane for statically-narrow values) + enqueue the prove; returns
         a handle for collect().  Dispatching batch k+1 before collecting
-        batch k pipelines upload/compute/readback across batches."""
+        batch k pipelines upload/compute/readback across batches.
+
+        Availability fallback caveat (ADVICE r3): on a narrow-plane
+        misclassification this falls back to the wide path SYNCHRONOUSLY —
+        the warning line also means the pipeline stalls behind this batch,
+        and the first occurrence pays a second full jit compile of the wide
+        `core` module (minutes on a remote-compile tunnel)."""
         try:
             return ("vals", core_vals(_vals_split(vals))), pis
         except _NarrowMisclassification as e:
@@ -1105,10 +1111,19 @@ def _ext_mul_base_const(e, c: int):
 def _quotient_num_chunks(N: int, xp, B: int = 32) -> int:
     """Domain-chunk count for the quotient pass: bounds peak temporaries
     (per-gate [nw, B, Nc] broadcasts) at large batch sizes; scales with the
-    batch so the per-chunk working set stays roughly constant."""
+    batch so the per-chunk working set stays roughly constant.
+
+    MUST divide N (the fori_loop chunking writes exactly nch * (N // nch)
+    domain points — a non-divisor silently zeroes the tail, ADVICE r3): the
+    batch multiplier is rounded DOWN to a power of two, so with N a power of
+    two the product always divides."""
     if xp is np:
         return 1
-    return max(1, (N // (1 << 14)) * max(1, B // 32))
+    bmul = max(1, B // 32)
+    bmul = 1 << (bmul.bit_length() - 1)  # largest power of two <= bmul
+    nch = max(1, (N // (1 << 14)) * bmul)
+    assert N % nch == 0, (N, nch)
+    return nch
 
 
 def _compute_quotient(data, bk, wires_lde, zs_lde, pi_lde, betas, gammas,

@@ -130,6 +130,46 @@ def verify_merkle_paths_batched(leaf_lo, leaf_hi, idx, path_lo, path_hi,
     return ok
 
 
+def replay_challenges_to_zeta(data: CircuitData, proof: Proof):
+    """Shared Fiat-Shamir replay of the prover transcript UP TO zeta (observe
+    fixed cap, PIs, wires cap; draw betas/gammas [+ lk_alphas]; observe zs
+    cap; draw alphas; observe quotient cap; draw zeta).
+
+    Single source of truth for the transcript schedule prefix, used by both
+    verify_strict and the recursive verifier's challenge derivation (ADVICE
+    r3: a schedule change must not be mirrorable by hand in two places).
+    Returns (ch, betas, gammas, lk_alphas, alphas, zeta, z_idx); `ch` is the
+    live challenger positioned just after zeta."""
+    circuit = data.circuit
+    cfg = circuit.config
+    C = cfg.num_challenges
+    nchunks = cfg.num_routed_wires // cfg.permutation_chunk_size
+    B = proof.pis.shape[0]
+    shape = (B,)
+    ch = Challenger(np, shape)
+    fixed_cap = data.fixed_tree.cap
+    ch.observe_cap((np.broadcast_to(fixed_cap[0], shape + fixed_cap[0].shape),
+                    np.broadcast_to(fixed_cap[1], shape + fixed_cap[1].shape)))
+    for i in range(proof.pis.shape[1]):
+        ch.observe_u64(proof.pis[:, i])
+    ch.observe_cap(proof.wires_cap)
+    betas, gammas = [], []
+    for _ in range(C):
+        betas.append(ch.get_challenge())
+        gammas.append(ch.get_challenge())
+    lk = data.lookup
+    lk_alphas = [ch.get_challenge() for _ in range(C)] if lk is not None else []
+    z_idx = [c * nchunks for c in range(C)]
+    if lk is not None:
+        cpc = lk.cols_per_challenge
+        z_idx += [C * nchunks + c * cpc + cpc - 1 for c in range(C)]
+    ch.observe_cap(proof.zs_cap)
+    alphas = [ch.get_challenge() for _ in range(C)]
+    ch.observe_cap(proof.quotient_cap)
+    zeta = ch.get_ext()
+    return ch, betas, gammas, lk_alphas, alphas, zeta, z_idx
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
@@ -175,27 +215,9 @@ def verify_strict(data: CircuitData, proof: Proof):
             raise VerifyError(f"{msg} (first failing lane {lane})")
 
     # ---- transcript replay (batched; mirrors prove_core exactly) -----------
-    ch = Challenger(np, shape)
-    fixed_cap = data.fixed_tree.cap
-    ch.observe_cap((np.broadcast_to(fixed_cap[0], shape + fixed_cap[0].shape),
-                    np.broadcast_to(fixed_cap[1], shape + fixed_cap[1].shape)))
-    for i in range(proof.pis.shape[1]):
-        ch.observe_u64(proof.pis[:, i])
-    ch.observe_cap(proof.wires_cap)
-    betas, gammas = [], []
-    for _ in range(C):
-        betas.append(ch.get_challenge())
-        gammas.append(ch.get_challenge())
+    (ch, betas, gammas, lk_alphas, alphas, zeta,
+     z_idx) = replay_challenges_to_zeta(data, proof)
     lk = data.lookup
-    lk_alphas = [ch.get_challenge() for _ in range(C)] if lk is not None else []
-    z_idx = [c * nchunks for c in range(C)]
-    if lk is not None:
-        cpc = lk.cols_per_challenge
-        z_idx += [C * nchunks + c * cpc + cpc - 1 for c in range(C)]
-    ch.observe_cap(proof.zs_cap)
-    alphas = [ch.get_challenge() for _ in range(C)]
-    ch.observe_cap(proof.quotient_cap)
-    zeta = ch.get_ext()
 
     opens0 = proof.openings0  # ext pair [B, total]
     opens1 = proof.openings1  # ext pair [B, len(z_idx)]

@@ -8,7 +8,11 @@ Usage: python scripts/profile_prove.py [B] [stage1,stage2,...]
 
 Set PLONKY2_TPU_TRACE_DIR=/path to additionally capture a jax.profiler trace
 of each stage's steady-state run (open with TensorBoard / Perfetto; the
-per-kernel timeline is the roofline-accounting source for BASELINE.md)."""
+per-kernel timeline is the roofline-accounting source for BASELINE.md).
+
+Set PLONKY2_TPU_PROFILE_JSON=/path to write the per-stage timings as a
+machine-readable artifact (the PROFILE_r*.json source; VERDICT r3 next #7 —
+the markdown profile was hand-assembled before)."""
 
 import os
 import pickle
@@ -72,6 +76,7 @@ def main():
     args = tuple(jax.device_put(a) for a in (wires_pair, pi_pair, pis_pair))
 
     prev = 0.0
+    records = []
     for stage in stages:
         sa = None if stage == "full" else stage
 
@@ -107,7 +112,22 @@ def main():
         dt = (time.time() - t0) / reps
         print(f"{stage:12s} cumulative {dt*1e3:9.1f} ms  (+{(dt-prev)*1e3:9.1f} ms)"
               f"   [compile {compile_s:.0f}s]", flush=True)
+        records.append({"stage": stage, "cumulative_ms": round(dt * 1e3, 1),
+                        "incremental_ms": round((dt - prev) * 1e3, 1),
+                        "compile_s": round(compile_s, 1)})
         prev = dt
+
+    jpath = os.environ.get("PLONKY2_TPU_PROFILE_JSON")
+    if jpath:
+        import json
+
+        payload = {"platform": jax.devices()[0].platform, "B": B,
+                   "n": data.n, "N": data.N,
+                   "num_wires": data.circuit.config.num_wires,
+                   "stages": records}
+        with open(jpath, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {jpath}", flush=True)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
+def parity_checks(log=print):
+    """On-chip parity preflight: Pallas Poseidon, gl.mul, and the batch-
+    inverse scan at the LogUp widths, each vs exact numpy.  Raises on any
+    mismatch.  Cheap (seconds) — wired into bench.py as a fail-fast guard
+    before the timed run (VERDICT r3 next #4b: the checks that would catch
+    the round-2/3 miscompile classes must run every benched round, not only
+    when someone remembers)."""
     import jax
     import jax.numpy as jnp
 
@@ -25,7 +31,6 @@ def main():
     from plonky2_ecdsa_tpu.hash.poseidon_pallas import permute_stacked_pallas
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    print(f"backend={jax.default_backend()} devices={jax.devices()}")
     rng = np.random.default_rng(0xECD5A)
 
     # --- Pallas Poseidon parity vs numpy reference -------------------------
@@ -37,7 +42,7 @@ def main():
                                      interpret=not on_tpu)
         ok = (np.array_equal(np.asarray(out[0]), ref[0])
               and np.array_equal(np.asarray(out[1]), ref[1]))
-        print(f"poseidon pallas parity {shape}: {'OK' if ok else 'FAIL'}")
+        log(f"poseidon pallas parity {shape}: {'OK' if ok else 'FAIL'}")
         assert ok
 
     # --- gl.mul parity on device -------------------------------------------
@@ -49,7 +54,7 @@ def main():
     host = gl.mul(*ap, *bp)
     ok = (np.array_equal(np.asarray(dev[0]), host[0])
           and np.array_equal(np.asarray(dev[1]), host[1]))
-    print(f"gl.mul device parity: {'OK' if ok else 'FAIL'}")
+    log(f"gl.mul device parity: {'OK' if ok else 'FAIL'}")
     assert ok
 
     # --- batch-inverse scan parity at the LogUp width ----------------------
@@ -66,8 +71,21 @@ def main():
             (jnp.asarray(pair[0]), jnp.asarray(pair[1])))
         ok = (np.array_equal(np.asarray(dev[0]), host[0])
               and np.array_equal(np.asarray(dev[1]), host[1]))
-        print(f"batch_inverse parity B={B} k={k}: {'OK' if ok else 'FAIL'}")
+        log(f"batch_inverse parity B={B} k={k}: {'OK' if ok else 'FAIL'}")
         assert ok
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.fields import goldilocks as gl
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    rng = np.random.default_rng(0xECD5A)
+    parity_checks()
+    from plonky2_ecdsa_tpu.hash.poseidon_pallas import permute_stacked_pallas
 
     # --- throughput (dependent-chain timing: defeats async caching) --------
     if on_tpu:

@@ -64,6 +64,20 @@ def test_batch_summation(rng):
     assert cn.affine_summation_batch_inversion(pts) == want
 
 
+def test_multisummation_best_cutoff(rng):
+    """The pairwise/batch-inversion dispatch (curve_summation.rs:29-40 cutoff
+    at 70) agrees with the naive sum on both sides of the cutoff."""
+    c = cn.SECP256K1
+    g = c.generator()
+    for k in (3, cn.PAIRWISE_SUM_CUTOFF + 5):
+        pts = [cn.scalar_mul(g, rand_scalar(rng, c)) for _ in range(k)]
+        want = c.zero()
+        for p in pts:
+            want = want + p
+        assert cn.affine_multisummation_best(pts) == want
+        assert cn.affine_summation_pairwise(pts) == want
+
+
 def test_glv_constants():
     c = cn.SECP256K1
     # beta is a primitive cube root of unity in the base field

@@ -281,6 +281,30 @@ def test_poseidon_grain_constants_pinned():
         0xAB66E96F38777AE2, 0xFB22A8EB3CA92C76]
 
 
+def test_poseidon_constants_from_spec():
+    """Constants-drift guard (VERDICT r3 next #6): the package's Grain-LFSR
+    round constants + MDS must match BOTH the frozen vector file and a
+    from-scratch re-derivation by the independent generator in
+    scripts/gen_poseidon_constants.py (int-state LFSR, no shared code), so
+    the instance is reproducible from the Poseidon-paper spec rather than
+    trusted from one implementation."""
+    import json
+    import os
+
+    from scripts import gen_poseidon_constants as gen
+
+    with open(os.path.join(os.path.dirname(__file__), "vectors",
+                           "poseidon_constants.json")) as f:
+        vec = json.load(f)
+    frozen_rc = [int(c) for c in vec["round_constants"]]
+    assert frozen_rc == poseidon.ROUND_CONSTANTS
+    assert gen.derive_constants() == poseidon.ROUND_CONSTANTS
+    pkg_mds = [[(poseidon.MDS_CIRC[(j - i) % 12]
+                 + (poseidon.MDS_DIAG0 if i == j == 0 else 0))
+                for j in range(12)] for i in range(12)]
+    assert vec["mds"] == pkg_mds == gen.mds_matrix()
+
+
 def test_poseidon_matrix_is_mds():
     """Exhaustive MDS check: every square submatrix of the 12x12 circulant+
     diag matrix (plonky2's MDS_MATRIX_CIRC/DIAG) is nonsingular over GF(p).
@@ -312,6 +336,39 @@ def test_streaming_wire_commit_matches_plain(rng):
         assert np.array_equal(np.asarray(lde[1]), ref_lde[1])
         assert np.array_equal(np.asarray(tree.cap[0]), ref_tree.cap[0])
         assert np.array_equal(np.asarray(tree.cap[1]), ref_tree.cap[1])
+
+
+@pytest.mark.slow
+def test_streamed_zs_branch_b48_matches_numpy():
+    """prove_core switches to the streaming zs commit purely on batch size
+    (B >= 48, prover.py); before this test the branch's only exercise was the
+    on-chip B=64 bench (VERDICT r3 weak #3 — the exact scale-gated untested
+    class that produced the r2 regression).  Drive it on CPU-backend JAX at
+    B=48 and require the full proof bit-identical to the numpy path (which
+    always uses the unstreamed commit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.prover.prover import _register_pytrees
+
+    _register_pytrees()
+    B = 48
+    rng = np.random.default_rng(148)
+    b = _small_circuit()
+    c = b.build()
+    xs = rng.integers(0, 1 << 29, size=(B, 1), dtype=np.uint64)
+    ys = rng.integers(0, P, size=(B, 1), dtype=np.uint64) % np.uint64(P)
+    W = c.generate_witness({"x": xs, "y": ys}, B)
+    pis = c.public_input_values()
+    data = build_circuit_data(c)
+    ref = prove(data, W, pis, xp=np)
+    got = prove(data, W, pis, xp=jnp)
+    assert verify(data, got)
+    ref_leaves = jax.tree_util.tree_leaves(ref)
+    got_leaves = jax.tree_util.tree_leaves(got)
+    assert len(ref_leaves) == len(got_leaves)
+    for i, (r, g) in enumerate(zip(ref_leaves, got_leaves)):
+        assert np.array_equal(np.asarray(r), np.asarray(g)), f"leaf {i} differs"
 
 
 @pytest.mark.slow
