@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..fields import goldilocks as gl
 from ..fields.goldilocks import P
 from ..prover.data import CircuitData
 from .gates import PublicInputGate
@@ -69,6 +70,22 @@ def ext_pow_const_circuit(b, e: ExtTarget, k: int) -> ExtTarget:
     return r if r is not None else alg.one()
 
 
+def _layout_counts(data: CircuitData):
+    """(num_fixed, num_zs, total, nz1) for proofs of `data` (layout order:
+    fixed | wires | zs | quotient; nz1 = Z-poly openings at g*zeta)."""
+    circuit = data.circuit
+    cfg = circuit.config
+    C = cfg.num_challenges
+    nchunks = cfg.num_routed_wires // cfg.permutation_chunk_size
+    lk = data.lookup
+    num_fixed = data.fixed_values.shape[0]
+    cpc = lk.cols_per_challenge if lk is not None else 0
+    num_zs = C * nchunks + C * cpc
+    total = num_fixed + cfg.num_wires + num_zs + C * (data.N // data.n)
+    nz1 = 2 * C if lk is not None else C
+    return num_fixed, num_zs, total, nz1
+
+
 def add_constraint_identity_check(b, data: CircuitData):
     """Build the in-circuit constraint-identity check for proofs of `data`.
 
@@ -84,23 +101,9 @@ def add_constraint_identity_check(b, data: CircuitData):
     (layout documented per key)."""
     circuit = data.circuit
     cfg = circuit.config
-    n = data.n
-    N = data.N
     C = cfg.num_challenges
-    nr = cfg.num_routed_wires
-    chunk = cfg.permutation_chunk_size
-    nchunks = nr // chunk
-    S = len(circuit.gates)
-    nc = cfg.num_constant_cols
-    rate = N // n
     lk = data.lookup
-    alg = CircuitExtAlgebra(b)
-
-    num_fixed = data.fixed_values.shape[0]
-    cpc = lk.cols_per_challenge if lk is not None else 0
-    num_zs = C * nchunks + C * cpc
-    total = num_fixed + cfg.num_wires + num_zs + C * rate
-    nz1 = 2 * C if lk is not None else C
+    _num_fixed, _num_zs, total, nz1 = _layout_counts(data)
 
     def ext_vec(name, k):
         es = [add_virtual_ext(b) for _ in range(k)]
@@ -123,6 +126,33 @@ def add_constraint_identity_check(b, data: CircuitData):
     gammas = base_vec("gammas", C)
     lk_alphas = base_vec("lk_alphas", C) if lk is not None else []
     pis = base_vec("pis", circuit.pi.count)
+    _emit_constraint_identity(b, data, open0, open1, zeta, alphas, betas,
+                              gammas, lk_alphas, pis)
+    return {"open0": open0, "open1": open1, "zeta": zeta, "alphas": alphas,
+            "betas": betas, "gammas": gammas, "lk_alphas": lk_alphas,
+            "pis": pis, "total": total}
+
+
+def _emit_constraint_identity(b, data: CircuitData, open0, open1, zeta,
+                              alphas, betas, gammas, lk_alphas, pis):
+    """Emit the constraint-identity connects given pre-allocated targets
+    (shared by the standalone surface above and the full recursive verifier,
+    which sources the challenges from its in-circuit transcript)."""
+    circuit = data.circuit
+    cfg = circuit.config
+    n = data.n
+    N = data.N
+    C = cfg.num_challenges
+    nr = cfg.num_routed_wires
+    chunk = cfg.permutation_chunk_size
+    nchunks = nr // chunk
+    S = len(circuit.gates)
+    nc = cfg.num_constant_cols
+    rate = N // n
+    lk = data.lookup
+    alg = CircuitExtAlgebra(b)
+    num_fixed, num_zs, total, nz1 = _layout_counts(data)
+    cpc = lk.cols_per_challenge if lk is not None else 0
 
     o_fixed = 0
     o_wires = num_fixed
@@ -256,10 +286,6 @@ def add_constraint_identity_check(b, data: CircuitData):
         b.connect(combined[0], rhs[0])
         b.connect(combined[1], rhs[1])
 
-    return {"open0": open0, "open1": open1, "zeta": zeta, "alphas": alphas,
-            "betas": betas, "gammas": gammas, "lk_alphas": lk_alphas,
-            "pis": pis, "total": total}
-
 
 def derive_challenges(data: CircuitData, proof):
     """Replay the verifier transcript up to zeta via the SHARED helper
@@ -308,3 +334,304 @@ def verifier_inputs_from_proof(data: CircuitData, proof) -> dict:
         "gammas": chs["gammas"], "lk_alphas": chs["lk_alphas"],
         "pis": proof.pis.astype(np.uint64),
     }
+
+
+# ===========================================================================
+# Full recursive verifier: proof-of-a-proof (VERDICT r3 next #2)
+#
+# Everything the native verifier (prover/verifier.py verify_strict) checks is
+# re-derived IN-CIRCUIT: the Fiat-Shamir transcript (CircuitChallenger over
+# PoseidonGate rows), the constraint identity at zeta
+# (_emit_constraint_identity), the FRI PoW response, the query indices
+# (canonical bit-split of the index challenges), every Merkle opening
+# (initial trees + fold-layer trees), the reduced-polynomial values, the
+# per-layer fold consistency, and the final-polynomial agreement.  The inner
+# proof enters the outer circuit purely as WITNESS inputs; the inner
+# circuit's fixed-commitment cap is baked in as constants (a per-circuit
+# verifier, like plonky2's standard recursion); the inner public inputs are
+# re-exported as the outer circuit's public inputs.
+#
+# The outer circuit must be built under a rate-8 (blowup 2^3) config
+# (e.g. CircuitConfig.standard_recursion_config()): PoseidonGate is
+# degree 7.  One outer proof LANE verifies one inner proof lane, so a whole
+# batch of inner proofs recurses as one outer batch.
+# ===========================================================================
+
+
+def _ilog2(x: int) -> int:
+    assert x & (x - 1) == 0 and x > 0
+    return x.bit_length() - 1
+
+
+def _tree_depth(leaves: int, cap_height: int):
+    """(depth, cap_size) exactly as merkle._build_tree_from_digests caps."""
+    ch = min(cap_height, _ilog2(leaves))
+    return _ilog2(leaves) - ch, 1 << ch
+
+
+def build_recursive_verifier(b, data: CircuitData):
+    """Emit the complete verifier circuit for proofs of `data` into builder
+    `b`.  Returns the input-layout dict consumed by
+    recursive_verifier_inputs()."""
+    from ..prover import fri as fri_mod
+    from ..prover import ntt
+    from .challenger_circuit import (CircuitChallenger, merkle_verify_circuit,
+                                     pow_product_circuit, split_challenge_64)
+
+    circuit = data.circuit
+    cfg = circuit.config
+    n, N = data.n, data.N
+    C = cfg.num_challenges
+    nchunks = cfg.num_routed_wires // cfg.permutation_chunk_size
+    lk = data.lookup
+    caph = cfg.fri.cap_height
+    Q = cfg.fri.num_query_rounds
+    pow_bits = cfg.fri.proof_of_work_bits
+    num_layers, final_size, nfinal = fri_mod.plan(N, cfg)
+    num_fixed, num_zs, total, nz1 = _layout_counts(data)
+    log2N = _ilog2(N)
+    init_depth, init_cap = _tree_depth(N, caph)
+    layer_shapes = [_tree_depth(N >> (l + 1), caph) for l in range(num_layers)]
+    alg = CircuitExtAlgebra(b)
+
+    def base_vec(name, k):
+        ts = b.add_virtual_targets(k)
+        b.register_input(name, ts)
+        return ts
+
+    def ext_vec(name, k):
+        es = [add_virtual_ext(b) for _ in range(k)]
+        b.register_input(name, [t for e in es for t in e])
+        return es
+
+    def cap_vec(name, cap_size):
+        ts = base_vec(name, cap_size * 4)
+        return [ts[c * 4 : c * 4 + 4] for c in range(cap_size)]
+
+    # ---- proof witness inputs ---------------------------------------------
+    pis = base_vec("pis", circuit.pi.count)
+    b.register_public_inputs(pis)
+    wires_cap = cap_vec("wires_cap", init_cap)
+    zs_cap = cap_vec("zs_cap", init_cap)
+    quot_cap = cap_vec("quot_cap", init_cap)
+    open0 = ext_vec("open0", total)
+    open1 = ext_vec("open1", nz1)
+    fri_caps = [cap_vec(f"fri_cap{l}", layer_shapes[l][1])
+                for l in range(num_layers)]
+    final_coeffs = ext_vec("final_coeffs", nfinal)
+    pow_witness = base_vec("pow_witness", 1) if pow_bits else []
+    init_leaves = base_vec("init_leaves", Q * total)
+    init_paths = {name: base_vec(f"init_path_{name}", Q * init_depth * 4)
+                  for name in ("fixed", "wires", "zs", "quot")}
+    layer_leaves = base_vec("layer_leaves", Q * num_layers * 4)
+    layer_paths = [base_vec(f"layer_path{l}", Q * layer_shapes[l][0] * 4)
+                   for l in range(num_layers)]
+
+    # ---- transcript (mirrors verify_strict / replay_challenges_to_zeta) ----
+    ch = CircuitChallenger(b)
+    fcap_u64 = gl.to_u64(*data.fixed_tree.cap)  # [cap, 4]
+    fixed_cap_const = [[b.constant(int(fcap_u64[c, j])) for j in range(4)]
+                       for c in range(fcap_u64.shape[0])]
+    ch.observe_cap(fixed_cap_const)
+    for t in pis:
+        ch.observe(t)
+    ch.observe_cap(wires_cap)
+    betas, gammas = [], []
+    for _ in range(C):
+        betas.append(ch.get_challenge())
+        gammas.append(ch.get_challenge())
+    lk_alphas = [ch.get_challenge() for _ in range(C)] if lk is not None else []
+    ch.observe_cap(zs_cap)
+    alphas = [ch.get_challenge() for _ in range(C)]
+    ch.observe_cap(quot_cap)
+    zeta = ExtTarget(*ch.get_ext())
+
+    # constraint identity at zeta, fed by the in-circuit challenges
+    _emit_constraint_identity(b, data, open0, open1, zeta, alphas, betas,
+                              gammas, lk_alphas, pis)
+
+    for e in open0:
+        ch.observe_ext(e)
+    for e in open1:
+        ch.observe_ext(e)
+    fri_alpha = ExtTarget(*ch.get_ext())
+    fri_betas = []
+    for l in range(num_layers):
+        ch.observe_cap(fri_caps[l])
+        fri_betas.append(ExtTarget(*ch.get_ext()))
+    for e in final_coeffs:
+        ch.observe_ext(e)
+    if pow_bits:
+        ch.check_pow_circuit(pow_witness[0], pow_bits)
+    idx_challenges = [ch.get_challenge() for _ in range(Q)]
+
+    # ---- shared per-proof values ------------------------------------------
+    z_idx = [c * nchunks for c in range(C)]
+    if lk is not None:
+        cpc = lk.cols_per_challenge
+        z_idx += [C * nchunks + c * cpc + cpc - 1 for c in range(C)]
+    apows = [alg.one()]
+    for _ in range(total - 1):
+        apows.append(alg.mul(apows[-1], fri_alpha))
+    apows1 = [alg.one()]
+    for _ in range(len(z_idx) - 1):
+        apows1.append(alg.mul(apows1[-1], fri_alpha))
+    apow_T = alg.mul(apows[-1], fri_alpha)
+    gzeta = alg.mul_const(zeta, data.g)
+    g_N = pow(gl.POWER_OF_TWO_GENERATOR, (1 << 32) // N, P)
+    inv2 = pow(2, -1, P)
+    sl_off = {"fixed": 0, "wires": num_fixed, "zs": num_fixed + cfg.num_wires,
+              "quot": num_fixed + cfg.num_wires + num_zs}
+    tree_slices = [("fixed", sl_off["fixed"], num_fixed),
+                   ("wires", sl_off["wires"], cfg.num_wires),
+                   ("zs", sl_off["zs"], num_zs),
+                   ("quot", sl_off["quot"], C * (N // n))]
+    tree_caps = {"fixed": fixed_cap_const, "wires": wires_cap,
+                 "zs": zs_cap, "quot": quot_cap}
+
+    def ext_sub_base(v_t, y):
+        """base target v - ext target y."""
+        return ExtTarget(b.sub(v_t, y[0]), b.mul_const(P - 1, y[1]))
+
+    def ext_select(bit, x, y):
+        return ExtTarget(b.select(bit, x[0], y[0]), b.select(bit, x[1], y[1]))
+
+    def inv_base_circuit(t):
+        inv = b.add_virtual_target()
+
+        def fill(ev, t=t, inv=inv):
+            v = ev.get(t)
+            out = np.array([pow(int(x), -1, P) if x else 0
+                            for x in v.ravel()], np.uint64).reshape(v.shape)
+            ev.set(np.array([inv]), out[None])
+
+        b.add_op(fill, [inv], "inv_base")
+        b.assert_one(b.mul(t, inv))
+        return inv
+
+    # ---- FRI query checks --------------------------------------------------
+    for q in range(Q):
+        bits64 = split_challenge_64(b, idx_challenges[q])
+        ibits = bits64[:log2N]
+        leaf_all = init_leaves[q * total : (q + 1) * total]
+        for name, off, k in tree_slices:
+            leaf = leaf_all[off : off + k]
+            pt = init_paths[name][q * init_depth * 4 : (q + 1) * init_depth * 4]
+            path = [pt[d * 4 : d * 4 + 4] for d in range(init_depth)]
+            merkle_verify_circuit(b, leaf, ibits, path, tree_caps[name])
+        x = pow_product_circuit(b, ibits, g_N, ntt.COSET_SHIFT)
+
+        # reduced value at x
+        red0 = alg.zero()
+        for i in range(total):
+            diff = ext_sub_base(leaf_all[i], open0[i])
+            red0 = alg.add(red0, alg.mul(apows[i], diff))
+        inv_xz = ext_inverse_circuit(b, ExtTarget(b.sub(x, zeta[0]),
+                                                  b.mul_const(P - 1, zeta[1])))
+        Fv = alg.mul(red0, inv_xz)
+        red1 = alg.zero()
+        for c, zi in enumerate(z_idx):
+            v_t = leaf_all[sl_off["zs"] + zi]
+            diff = ext_sub_base(v_t, open1[c])
+            red1 = alg.add(red1, alg.mul(apows1[c], diff))
+        inv_xgz = ext_inverse_circuit(b, ExtTarget(b.sub(x, gzeta[0]),
+                                                   b.mul_const(P - 1, gzeta[1])))
+        Fv = alg.add(Fv, alg.mul(apow_T, alg.mul(red1, inv_xgz)))
+
+        # fold layers
+        size = N
+        for l in range(num_layers):
+            half = size // 2
+            depth_l, _cap_l = layer_shapes[l]
+            base_idx = (q * num_layers + l) * 4
+            ll = layer_leaves[base_idx : base_idx + 4]
+            a_val = ExtTarget(ll[0], ll[1])
+            b_val = ExtTarget(ll[2], ll[3])
+            low_half = b.not_(ibits[_ilog2(size) - 1])
+            expect = ext_select(low_half, a_val, b_val)
+            b.connect(expect[0], Fv[0])
+            b.connect(expect[1], Fv[1])
+            pt = layer_paths[l][q * depth_l * 4 : (q + 1) * depth_l * 4]
+            path = [pt[d * 4 : d * 4 + 4] for d in range(depth_l)]
+            merkle_verify_circuit(b, ll, ibits[: _ilog2(half)], path,
+                                  fri_caps[l])
+            neg_x = b.mul_const(P - 1, x)
+            xj = b.select(low_half, x, neg_x)
+            inv2x = inv_base_circuit(b.mul_const(2, xj))
+            s_val = alg.add(a_val, b_val)
+            d_val = alg.sub(a_val, b_val)
+            even = alg.mul_const(s_val, inv2)
+            odd = ExtTarget(b.mul(d_val[0], inv2x), b.mul(d_val[1], inv2x))
+            Fv = alg.add(even, alg.mul(fri_betas[l], odd))
+            x = b.mul(xj, xj)
+            size = half
+
+        # final polynomial (Horner at the final-domain point x)
+        acc = alg.zero()
+        for k in reversed(range(nfinal)):
+            acc = alg.add(ext_mul_base(b, acc, x), final_coeffs[k])
+        b.connect(acc[0], Fv[0])
+        b.connect(acc[1], Fv[1])
+
+    return {
+        "total": total, "nz1": nz1, "Q": Q, "num_layers": num_layers,
+        "nfinal": nfinal, "init_depth": init_depth, "init_cap": init_cap,
+        "layer_shapes": layer_shapes, "pow_bits": pow_bits,
+    }
+
+
+def recursive_verifier_inputs(data: CircuitData, proof) -> dict:
+    """Host Proof (B lanes) -> witness-input dict for the circuit built by
+    build_recursive_verifier (one outer lane verifies one inner lane)."""
+    from ..prover import fri as fri_mod
+
+    cfg = data.circuit.config
+    caph = cfg.fri.cap_height
+    Q = cfg.fri.num_query_rounds
+    num_layers, _fs, nfinal = fri_mod.plan(data.N, cfg)
+    B = proof.pis.shape[0]
+
+    def u64(pair):
+        return gl.to_u64(np.asarray(pair[0]), np.asarray(pair[1]))
+
+    def cap_flat(cap):
+        a = u64(cap)  # [B, C, 4] (batched)
+        assert a.ndim == 3, a.shape
+        return a.reshape(B, -1)
+
+    def inter(ext_pair):
+        a = u64(ext_pair[0])
+        c = u64(ext_pair[1])
+        K = a.shape[-1]
+        out = np.zeros((B, 2 * K), np.uint64)
+        out[:, 0::2] = a
+        out[:, 1::2] = c
+        return out
+
+    out = {
+        "pis": proof.pis.astype(np.uint64),
+        "wires_cap": cap_flat(proof.wires_cap),
+        "zs_cap": cap_flat(proof.zs_cap),
+        "quot_cap": cap_flat(proof.quotient_cap),
+        "open0": inter(proof.openings0),
+        "open1": inter(proof.openings1),
+        "final_coeffs": inter(proof.fri_proof.final_coeffs),
+    }
+    fp = proof.fri_proof
+    for l in range(num_layers):
+        out[f"fri_cap{l}"] = cap_flat(fp.caps[l])
+    if cfg.fri.proof_of_work_bits:
+        out["pow_witness"] = u64(fp.pow_witness).reshape(B, 1)
+    leaves = [u64(proof.initial_leaves[name])  # [B, Q, k]
+              for name in ("fixed", "wires", "zs", "quot")]
+    out["init_leaves"] = np.concatenate(leaves, axis=-1).reshape(B, -1)
+    for name in ("fixed", "wires", "zs", "quot"):
+        out[f"init_path_{name}"] = u64(proof.initial_paths[name]).reshape(B, -1)
+    lls = [u64(fp.layer_leaves[l]) for l in range(num_layers)]  # [B, Q, 4]
+    if num_layers:
+        out["layer_leaves"] = np.stack(lls, axis=2).reshape(B, -1)
+    else:
+        out["layer_leaves"] = np.zeros((B, 0), np.uint64)
+    for l in range(num_layers):
+        out[f"layer_path{l}"] = u64(fp.layer_paths[l]).reshape(B, -1)
+    return out
