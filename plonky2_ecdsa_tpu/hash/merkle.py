@@ -49,19 +49,47 @@ class MerkleTree:
         """idx: int array [...Q] (broadcast-compatible with batch axes).
         Returns path (lo, hi) arrays [...Q, depth, 4] of sibling digests."""
         xp = gl._xp(self.levels[0][0])
+        num_levels = len(self.levels) - 1
+        if num_levels == 0:
+            shape = tuple(np.shape(idx)) + (0, 4)
+            return xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32)
+        if xp is not np:
+            return self._open_packed(idx, xp, num_levels)
         sib_lo, sib_hi = [], []
         cur = idx
-        num_levels = len(self.levels) - 1
         for d in range(num_levels):
             llo, lhi = self.levels[d]
             sidx = cur ^ 1
             sib_lo.append(_take_batched(llo, sidx, xp))
             sib_hi.append(_take_batched(lhi, sidx, xp))
             cur = cur >> 1
-        if num_levels == 0:
-            shape = tuple(np.shape(idx)) + (0, 4)
-            return xp.zeros(shape, xp.uint32), xp.zeros(shape, xp.uint32)
         return xp.stack(sib_lo, axis=-2), xp.stack(sib_hi, axis=-2)
+
+    def _open_packed(self, idx, xp, num_levels):
+        """Device path: ONE gather for the whole path instead of one per
+        level.  The r3/r4 profile put the query phase at ~14% of prover
+        compute, dominated by ~100 small per-level gather ops (4 trees x
+        ~11 levels + FRI layers); concatenating the level digests and
+        gathering all sibling positions at once collapses each tree.open to
+        a single op (VERDICT r3 next #1 "one packed gather")."""
+        idx = xp.asarray(idx)
+        cat_lo = xp.concatenate([l[0] for l in self.levels[:-1]], axis=-2)
+        cat_hi = xp.concatenate([l[1] for l in self.levels[:-1]], axis=-2)
+        offs = np.concatenate([[0], np.cumsum(
+            [l[0].shape[-2] for l in self.levels[:-2]])]).astype(np.int64)
+        gidx = xp.stack([(idx >> d) ^ 1 for d in range(num_levels)], -1)
+        gidx = gidx + xp.asarray(offs)  # [...Q, D] into the packed axis
+        flat = gidx.reshape(gidx.shape[:-2] + (-1,))
+        if cat_lo.ndim == 2:  # unbatched tree (fixed-poly commitment)
+            out_lo = cat_lo[flat]
+            out_hi = cat_hi[flat]
+        else:
+            import jax.numpy as jnp
+
+            out_lo = jnp.take_along_axis(cat_lo, flat[..., None], -2)
+            out_hi = jnp.take_along_axis(cat_hi, flat[..., None], -2)
+        shape = gidx.shape + (4,)
+        return out_lo.reshape(shape), out_hi.reshape(shape)
 
 
 def _take_batched(arr, idx, xp):
@@ -69,6 +97,11 @@ def _take_batched(arr, idx, xp):
     idx = xp.asarray(idx)
     if arr.ndim == 2:  # unbatched tree (e.g. fixed-poly commitment)
         return arr[idx]
+    if arr.ndim == 3 and idx.ndim == 2:
+        from ..prover.gather import gather_rows, use_onehot
+
+        if use_onehot(xp):  # MXU one-hot gather (see prover/gather.py)
+            return gather_rows(arr, idx)
     take = np.take_along_axis if xp is np else _jnp_take_along
     return take(arr, idx[..., None], -2)
 

@@ -163,43 +163,59 @@ def _mds_stacked_u64(lo, hi, xp):
     return gl._split64(xp, out)
 
 
-def _mds_stacked_u32(lo, hi, xp):
-    """out_i = sum_d circ[d] * s_{(i+d) mod 12} (+ diag on lane 0).
-
-    Lazy accumulation: the circulant constants are <= 41 (6 bits) and sum to
-    256 (+8 diag), so splitting each element into four 16-bit parts lets all
-    12 products accumulate in plain u32 lanes (bound 264 * 2^16 < 2^25) with
-    ONE modular recombination per output — ~2.5x fewer VPU ops than 12
-    mul_small + 11 modular adds."""
-    m16 = np.uint32(0xFFFF)
-    parts = (lo & m16, lo >> np.uint32(16), hi & m16, hi >> np.uint32(16))
-    q = [None] * 4
-    for d, c in enumerate(MDS_CIRC):
-        c = np.uint32(c)
-        for k in range(4):
-            t = (parts[k] if d == 0 else xp.roll(parts[k], -d, axis=0)) * c
-            q[k] = t if q[k] is None else q[k] + t
-    d0c = np.uint32(MDS_DIAG0)
-    q = [xp.concatenate([(qk[0] + parts[k][0] * d0c)[None], qk[1:]], axis=0)
-         for k, qk in enumerate(q)]
-    return _mds_recombine(q)
+_M22 = np.uint32(0x3FFFFF)
+_M12 = np.uint32(0xFFF)
+_M10 = np.uint32(0x3FF)
+_M20 = np.uint32(0xFFFFF)
 
 
-def _mds_recombine(q):
-    """Four u32 part-sums (weights 2^0,2^16,2^32,2^48, each < 2^25) ->
-    canonical (lo, hi)."""
-    m16 = np.uint32(0xFFFF)
+def _mds_split3(lo, hi):
+    """(lo, hi) u32 pair -> three 22/22/20-bit parts (weights 2^0, 2^22,
+    2^44).  Three part planes instead of four 16-bit ones: tap products
+    c * part <= 41 * 2^22 < 2^28 and 264-weight accumulations < 2^30.1 still
+    fit u32, and the tap-accumulate loop (the MDS hot loop) does 25% fewer
+    multiply-adds."""
+    p0 = lo & _M22
+    p1 = (lo >> np.uint32(22)) | ((hi & _M12) << np.uint32(10))
+    p2 = hi >> np.uint32(12)
+    return p0, p1, p2
+
+
+def _mds_recombine3(q):
+    """Three u32 part-sums (weights 2^0, 2^22, 2^44; q0,q1 < 2^30.1,
+    q2 < 2^28.1) -> canonical (lo, hi)."""
+    q0, q1, q2 = q
     z = np.uint32(0)
-    lo32, ca = gl.addc32(q[0], (q[1] & m16) << np.uint32(16))
-    hi1 = q[2] + (q[1] >> np.uint32(16)) + ca  # < 2^26, no wrap
-    hi32, cb = gl.addc32(hi1, (q[3] & m16) << np.uint32(16))
-    top = (q[3] >> np.uint32(16)) + cb  # < 2^10
+    lo32, c1 = gl.addc32(q0, (q1 & _M10) << np.uint32(22))
+    mid = (q1 >> np.uint32(10)) + c1             # < 2^21, no wrap
+    hi32, c2 = gl.addc32(mid, (q2 & _M20) << np.uint32(12))
+    top = (q2 >> np.uint32(20)) + c2             # < 2^9
     # value = lo32 + 2^32 hi32 + 2^64 top; 2^64 = 2^32 - 1 (mod p)
     ulo = z - top
     uhi = top - (top != 0).astype(np.uint32)
     l, h, c = gl.add64(lo32, hi32, ulo, uhi)
     l, h, _ = gl.add64(l, h, c * gl.EPS, c * z)
     return gl.canonicalize(l, h)
+
+
+def _mds_stacked_u32(lo, hi, xp):
+    """out_i = sum_d circ[d] * s_{(i+d) mod 12} (+ diag on lane 0).
+
+    Lazy accumulation over the three 22-bit part planes (_mds_split3): all
+    12 tap products accumulate in plain u32 lanes with ONE modular
+    recombination per output — ~3x fewer VPU ops than 12 mul_small + 11
+    modular adds."""
+    parts = _mds_split3(lo, hi)
+    q = [None] * 3
+    for d, c in enumerate(MDS_CIRC):
+        c = np.uint32(c)
+        for k in range(3):
+            t = (parts[k] if d == 0 else xp.roll(parts[k], -d, axis=0)) * c
+            q[k] = t if q[k] is None else q[k] + t
+    d0c = np.uint32(MDS_DIAG0)
+    q = [xp.concatenate([(qk[0] + parts[k][0] * d0c)[None], qk[1:]], axis=0)
+         for k, qk in enumerate(q)]
+    return _mds_recombine3(q)
 
 
 def _add_rc(lo, hi, r, xp):

@@ -60,25 +60,23 @@ def _kernel(rc_lo_ref, rc_hi_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
                 for i, (lo, hi) in enumerate(rows)]
 
     def mds(rows):
-        # lazy 16-bit-part accumulation (see poseidon._mds_stacked): split
-        # each row once, accumulate the <=41-weight circulant in plain u32
-        # lanes, one modular recombination per output row
-        m16 = np.uint32(0xFFFF)
-        s16 = np.uint32(16)
-        parts = [(lo & m16, lo >> s16, hi & m16, hi >> s16) for lo, hi in rows]
+        # lazy 22-bit-part accumulation (see poseidon._mds_stacked_u32 /
+        # _mds_split3): split each row once, accumulate the <=41-weight
+        # circulant in plain u32 lanes, one modular recombination per row
+        parts = [ps._mds_split3(lo, hi) for lo, hi in rows]
         out = []
         for i in range(W):
-            q = [None] * 4
+            q = [None] * 3
             for d, c in enumerate(ps.MDS_CIRC):
                 c = np.uint32(c)
                 src = parts[(i + d) % W]
-                for k in range(4):
+                for k in range(3):
                     t = src[k] * c
                     q[k] = t if q[k] is None else q[k] + t
             if i == 0:
                 d0c = np.uint32(ps.MDS_DIAG0)
                 q = [qk + parts[0][k] * d0c for k, qk in enumerate(q)]
-            out.append(ps._mds_recombine(q))
+            out.append(ps._mds_recombine3(q))
         return out
 
     def full_round(r, rows):

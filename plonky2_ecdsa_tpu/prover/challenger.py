@@ -201,6 +201,53 @@ class Challenger:
                 w = np.where(~found & anyok, base + first, w)
                 found |= anyok
                 k += 1
+        elif len(bshape) == 1 and bshape[0] > 8:
+            # Lane-compacted grind (r4 profile: the wide sweep burned ~8
+            # sweeps x B x 2^15 permutations because FOUND lanes kept
+            # grinding; expected work is B * 2^pow_bits * (ln B + c) ~ 4x the
+            # per-lane optimum).  Each iteration serves only the first K
+            # unfound lanes (stable argsort -> deterministic), scanning each
+            # lane's candidate space strictly in order (per-lane base
+            # counters), so the chosen witness is IDENTICAL to the wide
+            # sweep's / numpy's first-hit-in-order witness.
+            import jax
+            import jax.numpy as jnp
+
+            B = bshape[0]
+            K = 8
+            Mc = 1 << 14
+            max_iters = (max_chunks << chunk_log2) >> 14
+
+            def cond(carry):
+                found, _w, _base, it = carry
+                return jnp.logical_and(it < max_iters, ~found.all())
+
+            def body(carry):
+                found, w, base, it = carry
+                order = jnp.argsort(found)      # unfound lanes first, stable
+                sel = order[:K]                  # [K] unique lane ids
+                active = ~found[sel]
+                bases = base[sel]                # [K] u32
+                cand = bases[:, None] + jax.lax.broadcasted_iota(
+                    jnp.uint32, (K, Mc), 1)
+                slo = jnp.broadcast_to(lo[:, sel, None], (poseidon.WIDTH, K, Mc))
+                shi = jnp.broadcast_to(hi[:, sel, None], (poseidon.WIDTH, K, Mc))
+                slo = slo.at[0].set(cand)
+                shi = shi.at[0].set(0)
+                _plo, phi = poseidon.permute_stacked(slo, shi)
+                ok = (phi[7] >> shift) == 0      # [K, Mc]
+                hit = jnp.logical_and(ok.any(-1), active)
+                firstw = bases + jnp.argmax(ok, axis=-1).astype(jnp.uint32)
+                w = w.at[sel].set(jnp.where(hit, firstw, w[sel]))
+                found = found.at[sel].set(jnp.logical_or(found[sel], hit))
+                base = base.at[sel].set(jnp.where(active, bases + Mc, bases))
+                return (found, w, base, it + 1)
+
+            found0 = jnp.zeros(bshape, bool)
+            w0 = jnp.zeros(bshape, jnp.uint32)
+            base0 = jnp.zeros(bshape, jnp.uint32)
+            _found, w, _base, _ = jax.lax.while_loop(
+                cond, body, (found0, w0, base0, jnp.int32(0)))
         else:
             import jax
             import jax.numpy as jnp

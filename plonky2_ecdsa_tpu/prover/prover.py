@@ -618,10 +618,16 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
         "zs": (zs_lde, zs_tree, True),
         "quot": (quot_lde, quot_tree, True),
     }
+    from .gather import gather_cols, gather_cols_unbatched, use_onehot
+
     take = np.take_along_axis if xp is np else _jnp_take_along_axis
+    onehot = use_onehot(xp)
     for name, (lde, tree, batched) in trees.items():
         lo, hi = lde
-        if batched:
+        if onehot:
+            initial_leaves[name] = (gather_cols((lo, hi), idx) if batched
+                                    else gather_cols_unbatched((lo, hi), idx))
+        elif batched:
             leaf_lo = take(lo, idx[:, None, :], -1)  # [B, k, Q]
             leaf_hi = take(hi, idx[:, None, :], -1)
             initial_leaves[name] = (xp.moveaxis(leaf_lo, 1, 2), xp.moveaxis(leaf_hi, 1, 2))

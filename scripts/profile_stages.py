@@ -1,9 +1,12 @@
 """Time individual prover kernels on the attached device at real ECDSA shapes.
 
-Synthetic data, per-kernel jits: isolates NTT / Merkle(Poseidon) / quotient-ish
-elementwise cost so optimization effort goes where the time is.
+Synthetic data, per-kernel jits: isolates NTT / Poseidon-sponge / Merkle /
+grind / gather cost so optimization effort goes where the time is.
 
 Usage: python scripts/profile_stages.py [B]
+
+Shapes default to the production secp256k1 circuit: n=2^13, N=2^15 (4x LDE),
+128 wire columns, B=32 proof lanes.
 """
 
 import os
@@ -22,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from plonky2_ecdsa_tpu.fields import goldilocks as gl
-from plonky2_ecdsa_tpu.hash import merkle
+from plonky2_ecdsa_tpu.hash import merkle, poseidon
 from plonky2_ecdsa_tpu.prover import ntt
 
 
@@ -49,14 +52,14 @@ def timeit(label, fn, *args, reps=3):
     for _ in range(reps):
         np.asarray(jfn(*args))
     dt = (time.time() - t0) / reps
-    print(f"{label:40s} {dt*1e3:10.1f} ms")
+    print(f"{label:44s} {dt*1e3:10.1f} ms", flush=True)
     return dt
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    n, N = 1 << 15, 1 << 18
-    wires = 136
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n, N = 1 << 13, 1 << 15
+    wires = 128
     print(f"platform={jax.devices()[0].platform} B={B} n={n} N={N} wires={wires}")
     rng = np.random.default_rng(0)
 
@@ -77,37 +80,69 @@ def main():
                 ntt._DEVICE_TABLES.reset(tok)
         return g
 
-    # --- elementwise mul baseline: one gl.mul over the big LDE tensor -------
+    # --- raw poseidon permutation throughput (one big call) -----------------
+    lanes = B * N  # the leaf-sponge lane count
+    sl, sh = rand_pair((12, lanes))
+    t = timeit(f"poseidon permute [12, B*N={lanes}]",
+               lambda a, b: poseidon.permute_stacked(a, b), sl, sh)
+    print(f"  -> {lanes/t/1e6:.0f} Mperm/s", flush=True)
+
+    # --- leaf sponge at the wires-commit shape ------------------------------
+    ll, lh = rand_pair((B, wires, N))
+    t = timeit(f"leaf sponge [B,{wires},N] (16 perms/leaf)",
+               lambda a, b: merkle.leaf_digests_from_polys(a, b, jnp), ll, lh)
+    print(f"  -> {B*N*(wires//8)/t/1e6:.0f} Mperm/s effective", flush=True)
+
+    # --- full tree from digests --------------------------------------------
+    dl, dh = rand_pair((B, N, 4))
+    timeit("merkle tree from digests [B,N,4]",
+           lambda a, b: merkle._build_tree_from_digests(a, b, 4, jnp).cap, dl, dh)
+
+    # --- intt at n / coset ntt at N (wires commit shapes) -------------------
+    wl, wh = rand_pair((B, wires, n))
+    timeit(f"intt [B,{wires},n]", jax.jit(with_tabs(lambda a, b: ntt.intt(a, b))), wl, wh)
+    cl, chh = rand_pair((B, wires, n))
+    timeit(f"coset_ntt n->N [B,{wires}]",
+           jax.jit(with_tabs(lambda a, b: ntt.coset_ntt_from_coeffs(a, b, N))), cl, chh)
+
+    # --- elementwise mul baseline over the big LDE tensor -------------------
     xl, xh = rand_pair((B, wires, N))
     yl, yh = rand_pair((B, wires, N))
-    mul_j = jax.jit(lambda a, b, c, d: gl.mul(a, b, c, d))
-    t = timeit(f"gl.mul [B,{wires},N]", mul_j, xl, xh, yl, yh)
-    nmul = B * wires * N
-    print(f"  -> {nmul/t/1e9:.2f} G goldilocks-muls/s")
+    t = timeit(f"gl.mul [B,{wires},N]",
+               lambda a, b, c, d: gl.mul(a, b, c, d), xl, xh, yl, yh)
+    print(f"  -> {B*wires*N/t/1e9:.2f} G goldilocks-muls/s", flush=True)
 
-    # --- intt at n --------------------------------------------------------
-    wl, wh = rand_pair((B, wires, n))
-    intt_j = jax.jit(with_tabs(lambda a, b: ntt.intt(a, b)))
-    timeit(f"intt [B,{wires},n]", intt_j, wl, wh)
+    # --- batch inverse at the LogUp width -----------------------------------
+    il, ih = rand_pair((B, 155, n))
+    from plonky2_ecdsa_tpu.prover.prover import _batch_inverse_axis1
 
-    # --- coset ntt at N ----------------------------------------------------
-    cl, ch = rand_pair((B, wires, N))
-    ntt_j = jax.jit(with_tabs(lambda a, b: ntt.coset_ntt_from_coeffs(a, b)))
-    timeit(f"coset_ntt [B,{wires},N]", ntt_j, cl, ch)
+    timeit("batch_inverse [B,155,n]",
+           lambda a, b: _batch_inverse_axis1((a, b), jnp), il, ih)
 
-    # --- merkle tree over wires LDE -----------------------------------------
-    ll, lh = rand_pair((B, N, wires))
-    mk_j = jax.jit(lambda a, b: merkle.build_merkle_tree(a, b, 4).levels[-1])
-    timeit(f"merkle [B,N,{wires}]", mk_j, ll, lh)
+    # --- PoW grind at the production transcript shape -----------------------
+    from plonky2_ecdsa_tpu.prover.challenger import Challenger
 
-    # --- merkle leaf hash only ----------------------------------------------
-    hl_j = jax.jit(lambda a, b: merkle.hash_leaves(a, b))
-    timeit(f"hash_leaves [B,N,{wires}]", hl_j, ll, lh)
+    def grind(slo, shi):
+        ch = Challenger(jnp, (B,))
+        ch.state = [(slo[i], shi[i]) for i in range(12)]
+        ch.outputs = list(ch.state[:8])
+        return ch.grind(16)
 
-    # --- smaller merkle (zs / quotient trees) -------------------------------
-    zl, zh = rand_pair((B, N, 20))
-    mk2_j = jax.jit(lambda a, b: merkle.build_merkle_tree(a, b, 4).levels[-1])
-    timeit("merkle [B,N,20]", mk2_j, zl, zh)
+    gsl, gsh = rand_pair((12, B))
+    timeit("pow grind 16 bits [B lanes]", grind, gsl, gsh)
+
+    # --- query-phase gathers -------------------------------------------------
+    from plonky2_ecdsa_tpu.prover.gather import gather_cols, gather_rows
+
+    idx = jnp.asarray(rng.integers(0, N, size=(B, 42)).astype(np.int32))
+    timeit("onehot gather_cols [B,128,N] Q=42",
+           lambda p0, p1, i: gather_cols((p0, p1), i), ll, lh, idx)
+    timeit("take_along gather [B,128,N] Q=42",
+           lambda p0, p1, i: (jnp.take_along_axis(p0, i[:, None, :], -1),
+                              jnp.take_along_axis(p1, i[:, None, :], -1)),
+           ll, lh, idx)
+    timeit("onehot gather_rows [B,N,4] Q=42",
+           lambda a, i: gather_rows(a, i), dl, idx)
 
 
 if __name__ == "__main__":

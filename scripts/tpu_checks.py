@@ -74,6 +74,23 @@ def parity_checks(log=print):
         log(f"batch_inverse parity B={B} k={k}: {'OK' if ok else 'FAIL'}")
         assert ok
 
+    # --- one-hot MXU gather parity at the query-phase shape ----------------
+    from plonky2_ecdsa_tpu.prover.gather import gather_cols
+
+    B, k, N, Q = 8, 128, 1 << 15, 42
+    v = rng.integers(0, np.iinfo(np.uint64).max, size=(B, k, N), dtype=np.uint64, endpoint=True)
+    lo, hi = gl.from_u64(v)
+    idx = rng.integers(0, N, size=(B, Q)).astype(np.int32)
+    want_lo = np.moveaxis(np.take_along_axis(lo, idx[:, None, :], -1), 1, 2)
+    want_hi = np.moveaxis(np.take_along_axis(hi, idx[:, None, :], -1), 1, 2)
+    got = jax.jit(gather_cols)((jnp.asarray(lo), jnp.asarray(hi)),
+                               jnp.asarray(idx))
+    ok = (np.array_equal(np.asarray(got[0]), want_lo)
+          and np.array_equal(np.asarray(got[1]), want_hi))
+    log(f"onehot gather parity [B={B},k={k},N=2^15,Q={Q}]: "
+        f"{'OK' if ok else 'FAIL'}")
+    assert ok
+
 
 def main():
     import jax

@@ -203,6 +203,29 @@ def test_challenger_pow_grind_roundtrip():
     assert not ch3.check_pow(bad, 8).any()
 
 
+def test_grind_compacted_matches_numpy():
+    """The lane-compacted device grind (B > 8 path) picks the SAME witness
+    per lane as the numpy wide sweep (both scan each lane's candidate space
+    strictly in order), so np/jnp proofs stay bit-identical."""
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.prover.challenger import Challenger
+
+    B = 12
+    seed = gl.from_int(987654, (B,))
+    ch_np = Challenger(np, (B,))
+    ch_np.observe(seed)
+    w_np = ch_np.grind(8)
+    ch_j = Challenger(jnp, (B,))
+    ch_j.observe((jnp.asarray(seed[0]), jnp.asarray(seed[1])))
+    w_j = ch_j.grind(8)
+    assert np.array_equal(np.asarray(w_j[0]), w_np[0])
+    assert np.array_equal(np.asarray(w_j[1]), w_np[1])
+    a, b = ch_np.get_challenge(), ch_j.get_challenge()
+    assert np.array_equal(a[0], np.asarray(b[0]))
+    assert np.array_equal(a[1], np.asarray(b[1]))
+
+
 def test_verify_rejects_tampered_pow_witness():
     import copy
 
@@ -336,6 +359,64 @@ def test_streaming_wire_commit_matches_plain(rng):
         assert np.array_equal(np.asarray(lde[1]), ref_lde[1])
         assert np.array_equal(np.asarray(tree.cap[0]), ref_tree.cap[0])
         assert np.array_equal(np.asarray(tree.cap[1]), ref_tree.cap[1])
+
+
+def test_merkle_open_packed_matches_loop(rng):
+    """The device-path packed open (one gather for all levels) returns
+    exactly the per-level loop's sibling paths, batched and unbatched."""
+    import jax.numpy as jnp
+
+    B, L, W = 3, 64, 5
+    vals = rng.integers(0, P, size=(B, L, W), dtype=np.uint64)
+    lo, hi = gl.from_u64(vals)
+    tree_np = merkle.build_merkle_tree(lo, hi, 2)
+    tree_j = merkle.MerkleTree(
+        levels=[(jnp.asarray(a), jnp.asarray(b)) for a, b in tree_np.levels],
+        cap_height=tree_np.cap_height)
+    idx = rng.integers(0, L, size=(B, 7)).astype(np.int32)
+    want = tree_np.open(idx)
+    got = tree_j.open(jnp.asarray(idx))
+    assert np.array_equal(np.asarray(got[0]), want[0])
+    assert np.array_equal(np.asarray(got[1]), want[1])
+    # unbatched (fixed-commitment) tree
+    tree1_np = merkle.build_merkle_tree(lo[0], hi[0], 1)
+    tree1_j = merkle.MerkleTree(
+        levels=[(jnp.asarray(a), jnp.asarray(b)) for a, b in tree1_np.levels],
+        cap_height=tree1_np.cap_height)
+    want1 = tree1_np.open(idx)
+    got1 = tree1_j.open(jnp.asarray(idx))
+    assert np.array_equal(np.asarray(got1[0]), want1[0])
+    assert np.array_equal(np.asarray(got1[1]), want1[1])
+
+
+def test_onehot_gather_matches_take(rng):
+    """prover/gather.py one-hot-matmul gathers are bit-exact vs
+    take_along_axis at production-like shapes (u16-half f32 contraction with
+    exactly one nonzero per output: no rounding possible)."""
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.prover.gather import (gather_cols,
+                                                 gather_cols_unbatched,
+                                                 gather_rows)
+
+    B, k, N, Q = 3, 37, 1 << 10, 11
+    vals = rng.integers(0, np.iinfo(np.uint64).max, size=(B, k, N),
+                        dtype=np.uint64, endpoint=True)
+    lo, hi = gl.from_u64(vals)
+    idx = rng.integers(0, N, size=(B, Q)).astype(np.int32)
+    want_lo = np.moveaxis(np.take_along_axis(lo, idx[:, None, :], -1), 1, 2)
+    want_hi = np.moveaxis(np.take_along_axis(hi, idx[:, None, :], -1), 1, 2)
+    got = gather_cols((jnp.asarray(lo), jnp.asarray(hi)), jnp.asarray(idx))
+    assert np.array_equal(np.asarray(got[0]), want_lo)
+    assert np.array_equal(np.asarray(got[1]), want_hi)
+    got_u = gather_cols_unbatched((jnp.asarray(lo[0]), jnp.asarray(hi[0])),
+                                  jnp.asarray(idx))
+    assert np.array_equal(np.asarray(got_u[0]), lo[0].T[idx])
+    assert np.array_equal(np.asarray(got_u[1]), hi[0].T[idx])
+    digs = rng.integers(0, 1 << 32, size=(B, N, 4), dtype=np.uint64).astype(np.uint32)
+    got_r = np.asarray(gather_rows(jnp.asarray(digs), jnp.asarray(idx)))
+    want_r = np.take_along_axis(digs, idx[..., None], -2)
+    assert np.array_equal(got_r, want_r)
 
 
 @pytest.mark.slow
