@@ -29,14 +29,24 @@ def _onehot_f32(idx, size):
 
 
 def _contract(oh, plane, pattern):
-    """Exact u32 gather of one plane via two u16-half f32 matmuls."""
+    """Exact u32 gather of one plane via two u16-half f32 matmuls.
+
+    precision=HIGHEST is REQUIRED: the TPU MXU's default matmul precision
+    truncates f32 operands to bf16 (8-bit mantissa), which corrupts u16
+    payloads — caught by the on-chip preflight (scripts/tpu_checks.py) the
+    first time this ran on real hardware.  At HIGHEST the f32 operands are
+    carried exactly (multi-pass bf16 decomposition) and the one-nonzero-
+    per-row contraction cannot round."""
+    import jax
     import jax.numpy as jnp
 
     lo16 = (plane & np.uint32(0xFFFF)).astype(jnp.float32)
     hi16 = (plane >> np.uint32(16)).astype(jnp.float32)
     g_lo = jnp.einsum(pattern, oh, lo16,
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32).astype(jnp.uint32)
     g_hi = jnp.einsum(pattern, oh, hi16,
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32).astype(jnp.uint32)
     return g_lo | (g_hi << np.uint32(16))
 
