@@ -13,7 +13,7 @@ proofs/s — the midpoint anchor derived from plonky2's published 170 ms /
 2^12-row proving figure scaled to the reference ECDSA circuit's 2^15-2^16
 rows on CI-class hardware.
 
-Env knobs: BENCH_BATCH (default: platform-dependent), BENCH_REPS (default 3),
+Env knobs: BENCH_BATCH (default: platform-dependent), BENCH_REPS (default 5),
 BENCH_SMALL=1 benches the nonnative-mul-chain microcircuit instead,
 BENCH_P256=1 benches the P-256 ECDSA circuit (windowed mul path) instead of
 secp256k1/GLV.
@@ -40,7 +40,7 @@ def main():
 
     platform = jax.devices()[0].platform  # "axon"/"tpu" = real chip, "cpu" = host
     on_device = platform != "cpu"
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     small = os.environ.get("BENCH_SMALL") == "1"
 
     from plonky2_ecdsa_tpu.prover.data import build_circuit_data

@@ -97,11 +97,6 @@ def _take_batched(arr, idx, xp):
     idx = xp.asarray(idx)
     if arr.ndim == 2:  # unbatched tree (e.g. fixed-poly commitment)
         return arr[idx]
-    if arr.ndim == 3 and idx.ndim == 2:
-        from ..prover.gather import gather_rows, use_onehot
-
-        if use_onehot(xp):  # MXU one-hot gather (see prover/gather.py)
-            return gather_rows(arr, idx)
     take = np.take_along_axis if xp is np else _jnp_take_along
     return take(arr, idx[..., None], -2)
 

@@ -46,14 +46,15 @@ def _sbox_rows(rows, mul):
     return out
 
 
-def _kernel(rc_lo_ref, rc_hi_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+def _permute_rows(rc_lo_ref, rc_hi_ref, rows):
+    """Shared 30-round permutation body over a list of 12 (lo, hi) row
+    arrays (used by the bulk permutation kernel and the grind kernel)."""
     import jax
 
     from ..fields import goldilocks as gl
     from . import poseidon as ps
 
     W = ps.WIDTH
-    rows = [(lo_ref[i], hi_ref[i]) for i in range(W)]
 
     def add_rc(rows, r):
         return [gl.add(lo, hi, rc_lo_ref[r, i], rc_hi_ref[r, i])
@@ -95,6 +96,14 @@ def _kernel(rc_lo_ref, rc_hi_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
                              partial_round, rows)
     rows = jax.lax.fori_loop(ps.HALF_FULL_ROUNDS + ps.PARTIAL_ROUNDS,
                              ps.TOTAL_ROUNDS, full_round, rows)
+    return rows
+
+
+def _kernel(rc_lo_ref, rc_hi_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+    from . import poseidon as ps
+
+    rows = [(lo_ref[i], hi_ref[i]) for i in range(ps.WIDTH)]
+    rows = _permute_rows(rc_lo_ref, rc_hi_ref, rows)
     for i, (lo, hi) in enumerate(rows):
         out_lo_ref[i] = lo
         out_hi_ref[i] = hi
@@ -123,6 +132,111 @@ def _build_call(num_blocks: int, interpret: bool):
         out_specs=(blk_spec, blk_spec),
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# FRI proof-of-work grind kernel
+#
+# One grid program per proof lane; each program scans its lane's candidate
+# space in 8x128 VMEM blocks, running the full permutation per block and
+# stopping at the first block with a hit — total work per lane is its actual
+# geometric search cost (~2^pow_bits candidates) with ZERO inter-op
+# dispatch overhead.  The XLA while_loop formulation burned ~4x the optimum
+# (every sweep ground ALL lanes at fixed width; compaction fixed the waste
+# but its per-iteration argsort/scatter small-ops dominated on TPU).
+# First-hit-in-candidate-order semantics match the numpy sweep exactly.
+# ---------------------------------------------------------------------------
+
+GRIND_BLOCK = 8 * 128  # candidates per in-kernel iteration
+
+
+def _grind_kernel(rc_lo_ref, rc_hi_ref, st_lo_ref, st_hi_ref, shift_ref,
+                  out_ref):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from . import poseidon as ps
+
+    W = ps.WIDTH
+    b = pl.program_id(0)
+    shape = (8, 128)
+    idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(128)
+           + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    shift = shift_ref[0]
+    max_blocks = np.uint32((1 << 28) // GRIND_BLOCK)
+
+    def body(carry):
+        base, w, found = carry
+        cand = base * np.uint32(GRIND_BLOCK) + idx
+        rows = [(cand, jnp.zeros(shape, jnp.uint32))]
+        for i in range(1, W):
+            rows.append((jnp.full(shape, st_lo_ref[b, i], jnp.uint32),
+                         jnp.full(shape, st_hi_ref[b, i], jnp.uint32)))
+        rows = _permute_rows(rc_lo_ref, rc_hi_ref, rows)
+        ok = (rows[7][1] >> shift) == 0
+        # Mosaic has no unsigned reductions: min over int32 with an in-range
+        # sentinel (candidates stay < 2^28 < 2^31, so the cast is exact)
+        sent = jnp.int32(0x7FFFFFFF)
+        first = jnp.min(jnp.where(ok, cand.astype(jnp.int32), sent))
+        hit = first != sent
+        w = jnp.where(jnp.logical_and(hit, jnp.logical_not(found)),
+                      first.astype(jnp.uint32), w)
+        return base + 1, w, jnp.logical_or(found, hit)
+
+    def cond(carry):
+        base, _w, found = carry
+        return jnp.logical_and(jnp.logical_not(found), base < max_blocks)
+
+    _base, w, _found = jax.lax.while_loop(
+        cond, body, (jnp.uint32(0), jnp.uint32(0), jnp.bool_(False)))
+    out_ref[b, 0] = w
+
+
+@functools.lru_cache(maxsize=None)
+def _build_grind_call(B: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from . import poseidon as ps
+
+    # SMEM operands must be whole-array blocks (Mosaic rejects sub-(8,128)
+    # block shapes); the kernel indexes its lane row via pl.program_id.
+    rc_spec = pl.BlockSpec((ps.TOTAL_ROUNDS, ps.WIDTH),
+                           lambda b: (0, 0), memory_space=pltpu.SMEM)
+    st_spec = pl.BlockSpec((B, ps.WIDTH), lambda b: (0, 0),
+                           memory_space=pltpu.SMEM)
+    sh_spec = pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((B, 1), lambda b: (0, 0),
+                            memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        _grind_kernel,
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.uint32),
+        in_specs=[rc_spec, rc_spec, st_spec, st_spec, sh_spec],
+        out_specs=out_spec,
+        interpret=interpret,
+    )
+
+
+def grind_pallas(state_lo, state_hi, pow_bits: int, interpret: bool = False):
+    """state: (lo, hi) u32 [12, B] duplex states.  Returns w u32 [B]: per
+    lane, the FIRST candidate c (ascending from 0) such that overwriting
+    state[0] with c and permuting yields hi-word(out[7]) >> (32-pow_bits)
+    == 0 — bit-identical to Challenger.grind's numpy sweep."""
+    import jax.numpy as jnp
+
+    from . import poseidon as ps
+
+    B = state_lo.shape[1]
+    rc_lo = jnp.asarray(ps._RC_LO)
+    rc_hi = jnp.asarray(ps._RC_HI)
+    shift = jnp.asarray([32 - pow_bits], jnp.uint32)
+    out = _build_grind_call(B, interpret)(
+        rc_lo, rc_hi, state_lo.T, state_hi.T, shift)
+    return out[:, 0]
 
 
 def permute_stacked_pallas(lo, hi, interpret: bool = False):

@@ -201,6 +201,14 @@ class Challenger:
                 w = np.where(~found & anyok, base + first, w)
                 found |= anyok
                 k += 1
+        elif len(bshape) == 1 and poseidon._use_pallas():
+            # Mosaic grind kernel: one grid program per lane scanning its
+            # candidate space in-VMEM — per-lane-optimal work, no dispatch
+            # overhead (see hash/poseidon_pallas.grind_pallas; identical
+            # first-hit-in-order witness as the numpy sweep).
+            from ..hash.poseidon_pallas import grind_pallas
+
+            w = grind_pallas(lo, hi, pow_bits)
         elif len(bshape) == 1 and bshape[0] > 8:
             # Lane-compacted grind (r4 profile: the wide sweep burned ~8
             # sweeps x B x 2^15 permutations because FOUND lanes kept

@@ -160,10 +160,7 @@ def fri_prove(challenger, F, N: int, cfg, xp=np) -> FriProof:
     idx_list = challenger.get_indices(N, cfg.fri.num_query_rounds)
     indices = xp.stack([ix.astype(xp.int32) for ix in idx_list], axis=-1)  # [B, Q]
 
-    from .gather import gather_rows, use_onehot
-
     take = np.take_along_axis if xp is np else _jnp_take_along
-    onehot = use_onehot(xp)
     layer_leaves = []
     layer_paths = []
     idx = indices
@@ -171,11 +168,8 @@ def fri_prove(challenger, F, N: int, cfg, xp=np) -> FriProof:
     for tree, (llo, lhi) in zip(trees, leaves_store):
         half = size // 2
         li = idx % half
-        if onehot and llo.ndim == 3:
-            layer_leaves.append((gather_rows(llo, li), gather_rows(lhi, li)))
-        else:
-            layer_leaves.append((take(llo, li[..., None], -2),
-                                 take(lhi, li[..., None], -2)))
+        layer_leaves.append((take(llo, li[..., None], -2),
+                             take(lhi, li[..., None], -2)))
         layer_paths.append(tree.open(li))
         idx = li
         size = half

@@ -606,7 +606,12 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
                       open_zs_gzeta, zeta, gz, ch.get_ext(), z_idx, B, xp, shard)
     fri_proof = fri.fri_prove(ch, F, N, cfg, xp)
     if stop_after == 'fri':
+        # NOTE: returning only the caps lets XLA dead-code-eliminate the
+        # PoW grind + query-index/leaf/path work (they feed nothing here);
+        # use 'fri_all' to include them in a stage measurement.
         return fri_proof.caps
+    if stop_after == 'fri_all':
+        return fri_proof
 
     # ---- initial tree openings ---------------------------------------------
     idx = fri_proof.indices  # [B, Q] int32/int64 array (device ok)
@@ -618,16 +623,17 @@ def prove_core(data: CircuitData, bk: Backend, wires_pair, pi_pair, pis_pair,
         "zs": (zs_lde, zs_tree, True),
         "quot": (quot_lde, quot_tree, True),
     }
-    from .gather import gather_cols, gather_cols_unbatched, use_onehot
-
+    # Plain take_along gathers: measured on-chip (r4) they cost ~16 ms for
+    # the whole initial-leaf phase once tree.open is PACKED (one gather per
+    # tree, merkle._open_packed).  A one-hot-matmul formulation was tried
+    # and removed: the MXU pads tiny output widths and needs
+    # precision=HIGHEST for u16 exactness (default f32 matmul truncates
+    # operands to bf16 — a silent-corruption trap caught by the on-chip
+    # preflight), netting out slower than the native gathers.
     take = np.take_along_axis if xp is np else _jnp_take_along_axis
-    onehot = use_onehot(xp)
     for name, (lde, tree, batched) in trees.items():
         lo, hi = lde
-        if onehot:
-            initial_leaves[name] = (gather_cols((lo, hi), idx) if batched
-                                    else gather_cols_unbatched((lo, hi), idx))
-        elif batched:
+        if batched:
             leaf_lo = take(lo, idx[:, None, :], -1)  # [B, k, Q]
             leaf_hi = take(hi, idx[:, None, :], -1)
             initial_leaves[name] = (xp.moveaxis(leaf_lo, 1, 2), xp.moveaxis(leaf_hi, 1, 2))

@@ -131,18 +131,14 @@ def main():
     gsl, gsh = rand_pair((12, B))
     timeit("pow grind 16 bits [B lanes]", grind, gsl, gsh)
 
-    # --- query-phase gathers -------------------------------------------------
-    from plonky2_ecdsa_tpu.prover.gather import gather_cols, gather_rows
-
+    # --- query-phase gathers (packed tree open vs per-level loop) --------
     idx = jnp.asarray(rng.integers(0, N, size=(B, 42)).astype(np.int32))
-    timeit("onehot gather_cols [B,128,N] Q=42",
-           lambda p0, p1, i: gather_cols((p0, p1), i), ll, lh, idx)
+    tree = merkle._build_tree_from_digests(dl, dh, 4, jnp)
+    timeit("packed tree.open [B,N] Q=42",
+           lambda i: tree.open(i), idx)
     timeit("take_along gather [B,128,N] Q=42",
-           lambda p0, p1, i: (jnp.take_along_axis(p0, i[:, None, :], -1),
-                              jnp.take_along_axis(p1, i[:, None, :], -1)),
-           ll, lh, idx)
-    timeit("onehot gather_rows [B,N,4] Q=42",
-           lambda a, i: gather_rows(a, i), dl, idx)
+           lambda i: (jnp.take_along_axis(ll, i[:, None, :], -1),
+                      jnp.take_along_axis(lh, i[:, None, :], -1)), idx)
 
 
 if __name__ == "__main__":

@@ -74,23 +74,30 @@ def parity_checks(log=print):
         log(f"batch_inverse parity B={B} k={k}: {'OK' if ok else 'FAIL'}")
         assert ok
 
-    # --- one-hot MXU gather parity at the query-phase shape ----------------
-    from plonky2_ecdsa_tpu.prover.gather import gather_cols
+    # --- Mosaic grind kernel parity at the production lane count -----------
+    from plonky2_ecdsa_tpu.prover.challenger import Challenger
 
-    B, k, N, Q = 8, 128, 1 << 15, 42
-    v = rng.integers(0, np.iinfo(np.uint64).max, size=(B, k, N), dtype=np.uint64, endpoint=True)
-    lo, hi = gl.from_u64(v)
-    idx = rng.integers(0, N, size=(B, Q)).astype(np.int32)
-    want_lo = np.moveaxis(np.take_along_axis(lo, idx[:, None, :], -1), 1, 2)
-    want_hi = np.moveaxis(np.take_along_axis(hi, idx[:, None, :], -1), 1, 2)
-    got = jax.jit(gather_cols)((jnp.asarray(lo), jnp.asarray(hi)),
-                               jnp.asarray(idx))
-    ok = (np.array_equal(np.asarray(got[0]), want_lo)
-          and np.array_equal(np.asarray(got[1]), want_hi))
-    log(f"onehot gather parity [B={B},k={k},N=2^15,Q={Q}]: "
-        f"{'OK' if ok else 'FAIL'}")
+    # pow=12 keeps the numpy REFERENCE grind cheap (~seconds; at 16 bits the
+    # host-side reference sweep costs minutes) — the kernel code path is
+    # identical, only the shift scalar differs.
+    B = 32
+    seedv = rng.integers(0, gl.P, B, dtype=np.uint64)
+    seed = gl.from_u64(seedv)
+    ch_ref = Challenger(np, (B,))
+    ch_ref.observe(seed)
+    w_ref = ch_ref.grind(12)
+    from plonky2_ecdsa_tpu.hash.poseidon_pallas import grind_pallas
+
+    ch2 = Challenger(np, (B,))
+    ch2.observe(seed)
+    ch2._duplex()
+    slo = np.stack([s[0] for s in ch2.state])
+    shi = np.stack([s[1] for s in ch2.state])
+    w = np.asarray(grind_pallas(jnp.asarray(slo), jnp.asarray(shi), 12,
+                                interpret=not on_tpu))
+    ok = np.array_equal(w, w_ref[0])
+    log(f"grind kernel parity B={B} pow=12: {'OK' if ok else 'FAIL'}")
     assert ok
-
 
 def main():
     import jax

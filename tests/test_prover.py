@@ -226,6 +226,31 @@ def test_grind_compacted_matches_numpy():
     assert np.array_equal(a[1], np.asarray(b[1]))
 
 
+@pytest.mark.slow
+def test_grind_pallas_kernel_matches_numpy():
+    """The Mosaic grind kernel (interpret mode) returns the numpy sweep's
+    exact first-hit witnesses for per-lane-distinct duplex states."""
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.hash.poseidon_pallas import grind_pallas
+    from plonky2_ecdsa_tpu.prover.challenger import Challenger
+
+    B = 6
+    vals = np.arange(B, dtype=np.uint64) * np.uint64(97531) + np.uint64(11)
+    seed = gl.from_u64(vals)
+    ch = Challenger(np, (B,))
+    ch.observe(seed)
+    w_np = ch.grind(8)
+    ch2 = Challenger(np, (B,))
+    ch2.observe(seed)
+    ch2._duplex()
+    lo = np.stack([s[0] for s in ch2.state])
+    hi = np.stack([s[1] for s in ch2.state])
+    w = np.asarray(grind_pallas(jnp.asarray(lo), jnp.asarray(hi), 8,
+                                interpret=True))
+    assert np.array_equal(w, w_np[0])
+
+
 def test_verify_rejects_tampered_pow_witness():
     import copy
 
@@ -387,36 +412,6 @@ def test_merkle_open_packed_matches_loop(rng):
     got1 = tree1_j.open(jnp.asarray(idx))
     assert np.array_equal(np.asarray(got1[0]), want1[0])
     assert np.array_equal(np.asarray(got1[1]), want1[1])
-
-
-def test_onehot_gather_matches_take(rng):
-    """prover/gather.py one-hot-matmul gathers are bit-exact vs
-    take_along_axis at production-like shapes (u16-half f32 contraction with
-    exactly one nonzero per output: no rounding possible)."""
-    import jax.numpy as jnp
-
-    from plonky2_ecdsa_tpu.prover.gather import (gather_cols,
-                                                 gather_cols_unbatched,
-                                                 gather_rows)
-
-    B, k, N, Q = 3, 37, 1 << 10, 11
-    vals = rng.integers(0, np.iinfo(np.uint64).max, size=(B, k, N),
-                        dtype=np.uint64, endpoint=True)
-    lo, hi = gl.from_u64(vals)
-    idx = rng.integers(0, N, size=(B, Q)).astype(np.int32)
-    want_lo = np.moveaxis(np.take_along_axis(lo, idx[:, None, :], -1), 1, 2)
-    want_hi = np.moveaxis(np.take_along_axis(hi, idx[:, None, :], -1), 1, 2)
-    got = gather_cols((jnp.asarray(lo), jnp.asarray(hi)), jnp.asarray(idx))
-    assert np.array_equal(np.asarray(got[0]), want_lo)
-    assert np.array_equal(np.asarray(got[1]), want_hi)
-    got_u = gather_cols_unbatched((jnp.asarray(lo[0]), jnp.asarray(hi[0])),
-                                  jnp.asarray(idx))
-    assert np.array_equal(np.asarray(got_u[0]), lo[0].T[idx])
-    assert np.array_equal(np.asarray(got_u[1]), hi[0].T[idx])
-    digs = rng.integers(0, 1 << 32, size=(B, N, 4), dtype=np.uint64).astype(np.uint32)
-    got_r = np.asarray(gather_rows(jnp.asarray(digs), jnp.asarray(idx)))
-    want_r = np.take_along_axis(digs, idx[..., None], -2)
-    assert np.array_equal(got_r, want_r)
 
 
 @pytest.mark.slow
