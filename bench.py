@@ -89,7 +89,8 @@ def main():
         from scripts.tpu_checks import parity_checks
 
         t0 = time.time()
-        parity_checks(log=lambda m: print(f"# preflight {m}", file=sys.stderr))
+        parity_checks(log=lambda m: print(f"# preflight {m}", file=sys.stderr),
+                      quick=True)
         print(f"# preflight parity checks OK ({time.time()-t0:.1f}s)",
               file=sys.stderr)
 
