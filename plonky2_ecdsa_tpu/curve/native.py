@@ -397,10 +397,12 @@ def affine_summation_pairwise(points) -> Point:
 
 
 def affine_multisummation_best(points) -> Point:
-    """Heuristic dispatch between the pairwise and batch-inversion summation
-    (curve_summation.rs:29-40: switch at 70 pairwise sums — a list of k
-    points costs ~k pairwise sums across the halving recursion)."""
-    if len(points) < PAIRWISE_SUM_CUTOFF:
+    """Heuristic dispatch between the pairwise and batch-inversion summation.
+    Reference semantics (curve_summation.rs:29-40): the switch compares
+    `pairwise_sums = len/2` against the cutoff, so batch inversion kicks in
+    at list length 2*70 = 140 (ADVICE r4: matching the threshold on
+    pairwise-sum count, not list length)."""
+    if len(points) // 2 < PAIRWISE_SUM_CUTOFF:
         return affine_summation_pairwise(points)
     return affine_summation_batch_inversion(points)
 

@@ -164,7 +164,7 @@ def _grind_kernel(rc_lo_ref, rc_hi_ref, st_lo_ref, st_hi_ref, shift_ref,
     idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(128)
            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
     shift = shift_ref[0]
-    max_blocks = np.uint32((1 << 28) // GRIND_BLOCK)
+    max_blocks = shift_ref[1]  # derived from max_chunks << chunk_log2 (host)
 
     def body(carry):
         base, w, found = carry
@@ -188,9 +188,12 @@ def _grind_kernel(rc_lo_ref, rc_hi_ref, st_lo_ref, st_hi_ref, shift_ref,
         base, _w, found = carry
         return jnp.logical_and(jnp.logical_not(found), base < max_blocks)
 
-    _base, w, _found = jax.lax.while_loop(
+    _base, w, found = jax.lax.while_loop(
         cond, body, (jnp.uint32(0), jnp.uint32(0), jnp.bool_(False)))
+    # exhaustion is reported, not silent (ADVICE r4): found=0 lanes carry
+    # w=0, and the host wrapper poisons them to an impossible sentinel
     out_ref[b, 0] = w
+    out_ref[b, 1] = found.astype(jnp.uint32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -208,35 +211,41 @@ def _build_grind_call(B: int, interpret: bool):
                            lambda b: (0, 0), memory_space=pltpu.SMEM)
     st_spec = pl.BlockSpec((B, ps.WIDTH), lambda b: (0, 0),
                            memory_space=pltpu.SMEM)
-    sh_spec = pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((B, 1), lambda b: (0, 0),
+    sh_spec = pl.BlockSpec((2,), lambda b: (0,), memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((B, 2), lambda b: (0, 0),
                             memory_space=pltpu.SMEM)
     return pl.pallas_call(
         _grind_kernel,
         grid=(B,),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((B, 2), jnp.uint32),
         in_specs=[rc_spec, rc_spec, st_spec, st_spec, sh_spec],
         out_specs=out_spec,
         interpret=interpret,
     )
 
 
-def grind_pallas(state_lo, state_hi, pow_bits: int, interpret: bool = False):
-    """state: (lo, hi) u32 [12, B] duplex states.  Returns w u32 [B]: per
-    lane, the FIRST candidate c (ascending from 0) such that overwriting
-    state[0] with c and permuting yields hi-word(out[7]) >> (32-pow_bits)
-    == 0 — bit-identical to Challenger.grind's numpy sweep."""
+def grind_pallas(state_lo, state_hi, pow_bits: int,
+                 max_candidates: int = 1 << 27, interpret: bool = False):
+    """state: (lo, hi) u32 [12, B] duplex states.  Returns (w, found), both
+    [B]: per lane, the FIRST candidate c (ascending from 0) such that
+    overwriting state[0] with c and permuting yields hi-word(out[7]) >>
+    (32-pow_bits) == 0 — bit-identical to Challenger.grind's numpy sweep.
+    found is False where the lane exhausted `max_candidates` (astronomically
+    unlikely; the caller must not use w in that case — ADVICE r4).
+    max_candidates must stay < 2^31 (int32-min reduction in the kernel)."""
     import jax.numpy as jnp
 
     from . import poseidon as ps
 
+    assert 0 < max_candidates < (1 << 31)
     B = state_lo.shape[1]
     rc_lo = jnp.asarray(ps._RC_LO)
     rc_hi = jnp.asarray(ps._RC_HI)
-    shift = jnp.asarray([32 - pow_bits], jnp.uint32)
+    max_blocks = -(-max_candidates // GRIND_BLOCK)
+    scal = jnp.asarray([32 - pow_bits, max_blocks], jnp.uint32)
     out = _build_grind_call(B, interpret)(
-        rc_lo, rc_hi, state_lo.T, state_hi.T, shift)
-    return out[:, 0]
+        rc_lo, rc_hi, state_lo.T, state_hi.T, scal)
+    return out[:, 0], out[:, 1].astype(bool)
 
 
 def permute_stacked_pallas(lo, hi, interpret: bool = False):

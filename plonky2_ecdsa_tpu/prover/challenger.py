@@ -13,6 +13,13 @@ import numpy as np
 from ..fields import goldilocks as gl
 from ..hash import poseidon
 
+# Sentinel written into a lane's PoW witness when the device grind exhausted
+# its candidate space (astronomically unlikely; ADVICE r4: the silent w=0 it
+# used to return would only surface as an obscure verification failure).
+# Real witnesses are < max_chunks << chunk_log2 <= 2^27, so the sentinel is
+# unambiguous; the host raises on it at proof collection (prover.collect).
+GRIND_EXHAUSTED = 0xFFFFFFFF
+
 
 class Challenger:
     def __init__(self, xp=np, batch_shape=()):
@@ -205,10 +212,17 @@ class Challenger:
             # Mosaic grind kernel: one grid program per lane scanning its
             # candidate space in-VMEM — per-lane-optimal work, no dispatch
             # overhead (see hash/poseidon_pallas.grind_pallas; identical
-            # first-hit-in-order witness as the numpy sweep).
+            # first-hit-in-order witness as the numpy sweep).  Exhausted
+            # lanes (cap derived from max_chunks << chunk_log2, ADVICE r4)
+            # are poisoned with GRIND_EXHAUSTED so the host raises loudly at
+            # proof collection instead of failing verification obscurely.
+            import jax.numpy as jnp
+
             from ..hash.poseidon_pallas import grind_pallas
 
-            w = grind_pallas(lo, hi, pow_bits)
+            w, g_found = grind_pallas(lo, hi, pow_bits,
+                                      max_chunks << chunk_log2)
+            w = jnp.where(g_found, w, jnp.uint32(GRIND_EXHAUSTED))
         elif len(bshape) == 1 and bshape[0] > 8:
             # Lane-compacted grind (r4 profile: the wide sweep burned ~8
             # sweeps x B x 2^15 permutations because FOUND lanes kept
@@ -224,7 +238,9 @@ class Challenger:
             B = bshape[0]
             K = 8
             Mc = 1 << 14
-            max_iters = (max_chunks << chunk_log2) >> 14
+            # per-lane budget: each iteration serves K of B lanes, so the
+            # shared iteration bound scales by ceil(B/K) (ADVICE r4)
+            max_iters = (-(-B // K)) * ((max_chunks << chunk_log2) >> 14)
 
             def cond(carry):
                 found, _w, _base, it = carry
@@ -254,8 +270,9 @@ class Challenger:
             found0 = jnp.zeros(bshape, bool)
             w0 = jnp.zeros(bshape, jnp.uint32)
             base0 = jnp.zeros(bshape, jnp.uint32)
-            _found, w, _base, _ = jax.lax.while_loop(
+            g_found, w, _base, _ = jax.lax.while_loop(
                 cond, body, (found0, w0, base0, jnp.int32(0)))
+            w = jnp.where(g_found, w, jnp.uint32(GRIND_EXHAUSTED))
         else:
             import jax
             import jax.numpy as jnp
@@ -280,7 +297,8 @@ class Challenger:
 
             found0 = jnp.zeros(bshape, bool)
             w0 = jnp.zeros(bshape, jnp.uint32)
-            _found, w, _ = jax.lax.while_loop(cond, body, (found0, w0, jnp.int32(0)))
+            g_found, w, _ = jax.lax.while_loop(cond, body, (found0, w0, jnp.int32(0)))
+            w = jnp.where(g_found, w, jnp.uint32(GRIND_EXHAUSTED))
         wpair = (xp.asarray(w, dtype=xp.uint32), xp.zeros(bshape, xp.uint32))
         self.observe(wpair)
         self.get_challenge()  # consume the (zero-prefixed) response

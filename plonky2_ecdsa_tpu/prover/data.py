@@ -127,6 +127,21 @@ def build_circuit_data(circuit: Circuit) -> CircuitData:
     cfg = circuit.config
     n = circuit.n
     N = n << cfg.fri.rate_bits
+    # Quotient representability (ADVICE r4): a degree-d gate's constraint
+    # poly has degree ~d*n; the quotient (degree ~(d-1)*n) is committed as
+    # 2^rate_bits chunks of degree < n, so d must not exceed the blowup.
+    # Without this, a degree-7 gate (PoseidonGate) under a rate-4 config
+    # silently yields proofs that fail verification with an unrelated-looking
+    # FRI/quotient error.
+    for gi, gate in enumerate(circuit.gates):
+        if (len(circuit.gate_rows.get(gi, ())) > 0
+                and gate.degree > (1 << cfg.fri.rate_bits)):
+            raise ValueError(
+                f"gate {gate.gate_id()} has degree {gate.degree} > blowup "
+                f"2^{cfg.fri.rate_bits}: the quotient cannot represent its "
+                f"constraints; use a config with rate_bits >= "
+                f"{max(1, (gate.degree - 1).bit_length())} "
+                f"(e.g. standard_recursion_config for PoseidonGate)")
     g = pow(gl.POWER_OF_TWO_GENERATOR, (1 << 32) // n, P)
 
     from ..circuit.gates import RangeLookupGate

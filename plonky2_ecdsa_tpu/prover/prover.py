@@ -841,6 +841,17 @@ class _NarrowMisclassification(AssertionError):
     """A statically narrow-classified witness value exceeded 32 bits."""
 
 
+def _check_grind(proof):
+    """Raise loudly if any lane's device PoW grind exhausted its candidate
+    space (challenger.GRIND_EXHAUSTED sentinel; the numpy path raises the
+    same error inline — ADVICE r4)."""
+    from .challenger import GRIND_EXHAUSTED
+
+    pw = proof.fri_proof.pow_witness
+    if pw is not None and np.any(np.asarray(pw[0]) == np.uint32(GRIND_EXHAUSTED)):
+        raise AssertionError("PoW grind exhausted candidate space")
+
+
 def make_jit_prover(data: CircuitData):
     """Returns prove_fn(W, pis) running the full pipeline under jax.jit.
 
@@ -956,6 +967,7 @@ def make_jit_prover(data: CircuitData):
         # a tunnel round-trip for each of the proof's ~100 arrays.
         proof = jax.device_get(proof)
         proof.pis = np.asarray(pis)
+        _check_grind(proof)
         return proof
 
     def _vals_split(vals: np.ndarray):
@@ -1019,6 +1031,7 @@ def make_jit_prover(data: CircuitData):
             return payload
         proof = _unpack_proof(np.asarray(payload), spec_cell["spec"])
         proof.pis = np.asarray(pis)
+        _check_grind(proof)
         return proof
 
     def run_vals(vals: np.ndarray, pis: np.ndarray) -> Proof:

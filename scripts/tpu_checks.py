@@ -101,9 +101,10 @@ def parity_checks(log=print, quick=False):
     ch2._duplex()
     slo = np.stack([s[0] for s in ch2.state])
     shi = np.stack([s[1] for s in ch2.state])
-    w = np.asarray(grind_pallas(jnp.asarray(slo), jnp.asarray(shi), 12,
-                                interpret=not on_tpu))
-    ok = np.array_equal(w, w_ref[0])
+    w, g_found = grind_pallas(jnp.asarray(slo), jnp.asarray(shi), 12,
+                              interpret=not on_tpu)
+    ok = bool(np.asarray(g_found).all()) and np.array_equal(
+        np.asarray(w), w_ref[0])
     log(f"grind kernel parity B={B} pow=12: {'OK' if ok else 'FAIL'}")
     assert ok
 

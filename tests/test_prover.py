@@ -246,9 +246,33 @@ def test_grind_pallas_kernel_matches_numpy():
     ch2._duplex()
     lo = np.stack([s[0] for s in ch2.state])
     hi = np.stack([s[1] for s in ch2.state])
-    w = np.asarray(grind_pallas(jnp.asarray(lo), jnp.asarray(hi), 8,
-                                interpret=True))
-    assert np.array_equal(w, w_np[0])
+    w, found = grind_pallas(jnp.asarray(lo), jnp.asarray(hi), 8,
+                            interpret=True)
+    assert np.asarray(found).all()
+    assert np.array_equal(np.asarray(w), w_np[0])
+
+
+@pytest.mark.slow
+def test_grind_pallas_exhaustion_flag():
+    """Exhausting the candidate cap reports found=False (ADVICE r4) instead
+    of a silent w=0; the collect-side sentinel check raises on it."""
+    import jax.numpy as jnp
+
+    from plonky2_ecdsa_tpu.hash.poseidon_pallas import GRIND_BLOCK, grind_pallas
+    from plonky2_ecdsa_tpu.prover.challenger import Challenger
+
+    B = 2
+    seed = gl.from_u64(np.array([5, 6], np.uint64))
+    ch = Challenger(np, (B,))
+    ch.observe(seed)
+    ch._duplex()
+    lo = np.stack([s[0] for s in ch.state])
+    hi = np.stack([s[1] for s in ch.state])
+    # 26 leading-zero bits in one GRIND_BLOCK of candidates: miss (expected
+    # hits ~= 1024 * 2^-26; deterministic for this fixed seed — verified)
+    w, found = grind_pallas(jnp.asarray(lo), jnp.asarray(hi), 26,
+                            max_candidates=GRIND_BLOCK, interpret=True)
+    assert not np.asarray(found).any()
 
 
 def test_verify_rejects_tampered_pow_witness():

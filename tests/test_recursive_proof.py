@@ -99,6 +99,25 @@ def test_poseidon_gate_matches_hash_oracle():
         check_constraints(c, W2, pis)
 
 
+def test_poseidon_gate_requires_rate8_config():
+    """A degree-7 gate under a blowup-4 config must be rejected at
+    build_circuit_data (ADVICE r4: it used to silently produce proofs that
+    fail verification with an unrelated-looking FRI/quotient error)."""
+    cfg = CircuitConfig(
+        num_wires=136, num_routed_wires=80, num_constant_cols=2,
+        range_lookup_limb_bits=3,
+        fri=FriConfig(rate_bits=2, cap_height=1, num_query_rounds=4,
+                      proof_of_work_bits=0))
+    b = CircuitBuilder(cfg)
+    ins = b.add_virtual_targets(12)
+    b.register_input("state", ins)
+    outs = poseidon_permute(b, ins)
+    b.register_public_inputs(outs[:4])
+    c = b.build()
+    with pytest.raises(ValueError, match="degree 7 > blowup"):
+        build_circuit_data(c)
+
+
 @pytest.mark.slow
 def test_poseidon_gate_proves_through_fri():
     """A chained-permutation circuit proves and verifies through FRI under
