@@ -35,6 +35,101 @@ import numpy as np
 RUST_CPU_PROOFS_PER_SEC_EST = 0.2  # documented estimate, BASELINE.md
 
 
+def bench_recursive(reps, on_device, platform):
+    """BENCH_RECURSIVE=1: throughput of OUTER proofs — on-chip FRI proving
+    of the recursive verifier circuit for the production secp256k1 ECDSA
+    circuit (n=2^13 inner -> n=2^14 outer under recursion_ecc_config; the
+    degree-7 PoseidonGate quotient at blowup 8 is the device-side risk this
+    mode exists to exercise, VERDICT r4 next #4).  Each outer lane verifies
+    one inner proof lane in-circuit and re-exports its 45 statement limbs."""
+    import dataclasses
+
+    import jax
+
+    from plonky2_ecdsa_tpu import api
+    from plonky2_ecdsa_tpu.circuit.builder import CircuitBuilder
+    from plonky2_ecdsa_tpu.circuit.config import CircuitConfig, FriConfig
+    from plonky2_ecdsa_tpu.circuit.recursive_verifier import (
+        build_recursive_verifier, recursive_verifier_inputs)
+    from plonky2_ecdsa_tpu.curve import native as cn
+    from plonky2_ecdsa_tpu.prover.data import build_circuit_data
+    from plonky2_ecdsa_tpu.prover.prover import make_jit_prover, prove
+    from plonky2_ecdsa_tpu.prover.verifier import verify
+
+    B = int(os.environ.get("BENCH_BATCH", "8" if on_device else "1"))
+    t0 = time.time()
+    system = api.EcdsaProverSystem(cn.SECP256K1)
+    idata = system.data
+    stmts = api.random_statements(cn.SECP256K1, B, seed=11)
+    build_i = time.time() - t0
+    # inner proofs (inputs to the recursion; produced once, not timed)
+    t0 = time.time()
+    if on_device:
+        run_i = make_jit_prover(idata)
+        Vi, ipis = system.witness_vals(stmts)
+        iproof = run_i.run_vals(Vi, ipis)
+    else:
+        Wi, ipis = system.witness(stmts)
+        iproof = prove(idata, Wi, ipis)
+    inner_s = time.time() - t0
+    assert verify(idata, iproof), "inner ECDSA proof failed verification"
+
+    t0 = time.time()
+    ocfg = CircuitConfig.recursion_ecc_config()
+    if os.environ.get("BENCH_RECURSIVE_FAST_FRI") == "1":
+        # compile/HBM escape hatch: reduced OUTER FRI (circuit identical)
+        ocfg = dataclasses.replace(ocfg, fri=FriConfig(
+            rate_bits=3, cap_height=1, num_query_rounds=4,
+            proof_of_work_bits=4))
+    ob = CircuitBuilder(ocfg)
+    build_recursive_verifier(ob, idata)
+    oc = ob.build()
+    odata = build_circuit_data(oc)
+    build_o = time.time() - t0
+    t0 = time.time()
+    inputs = recursive_verifier_inputs(idata, iproof)
+    Vo = oc._run_tape(inputs, B, None)
+    opis = oc.public_input_values()
+    assert np.array_equal(opis, ipis), "statement limbs must re-export"
+    wit_s = time.time() - t0
+    run = make_jit_prover(odata)
+    t0 = time.time()
+    proof = run.run_vals(Vo, opis)  # compile + first run
+    compile_s = time.time() - t0
+    assert verify(odata, proof), "outer (recursive) proof failed verification"
+
+    t0 = time.time()
+    pending = None
+    proofs = []
+    done = 0
+    for _ in range(reps):
+        handle = run.dispatch_vals(Vo, opis)
+        if pending is not None:
+            proofs.append(run.collect(pending))
+            done += 1
+        pending = handle
+    proofs.append(run.collect(pending))
+    done += 1
+    dt = (time.time() - t0) / done
+    for i, p in enumerate(proofs):
+        assert verify(odata, p), f"outer batch {i} failed verification"
+        assert np.array_equal(p.pis, ipis)
+    value = B / dt
+    print(f"# platform={platform} RECURSIVE B={B} inner_n={idata.n} "
+          f"outer_n={oc.n} outer_N={odata.N} Q_outer={ocfg.fri.num_query_rounds} "
+          f"build_i={build_i:.1f}s inner={inner_s:.1f}s build_o={build_o:.1f}s "
+          f"witness={wit_s:.1f}s compile={compile_s:.1f}s "
+          f"steady={dt:.2f}s/batch ({done} batches)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "recursive_ecdsa_outer_proofs_per_sec_per_chip",
+        "value": round(value, 3), "unit": "proofs/s",
+        # same CPU anchor as the flat bench: the reference stack would pay
+        # at least one flat proof per statement plus the (heavier) recursive
+        # wrap, so flat-anchor ratio is a conservative lower bound
+        "vs_baseline": round(value / RUST_CPU_PROOFS_PER_SEC_EST, 2),
+    }))
+
+
 def main():
     import jax
 
@@ -78,6 +173,9 @@ def main():
             "vs_baseline": round(value / (RUST_CPU_PROOFS_PER_SEC_EST * 11), 2),
         }))
         return
+
+    if os.environ.get("BENCH_RECURSIVE") == "1":
+        return bench_recursive(reps, on_device, platform)
 
     from plonky2_ecdsa_tpu import api
     from plonky2_ecdsa_tpu.curve import native as cn
@@ -132,23 +230,56 @@ def main():
     th = threading.Thread(target=producer)
     th.start()
     done = 0
-    pending = None
     proofs = []
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        # 2-deep software pipeline: dispatch batch k+1 (async upload+prove)
-        # before collecting batch k's proof, so transfer overlaps compute
-        handle = run.dispatch_vals(*item)
+    if os.environ.get("BENCH_PIPE", "thread") == "thread":
+        # 3-stage pipeline with a dedicated COLLECTOR thread: the blocking
+        # proof readback (an HTTP GET on the axon tunnel) runs concurrently
+        # with the main thread's next dispatch, so readback I/O overlaps
+        # device compute even when in-order RPCs would serialize them.
+        hq: Queue = Queue(maxsize=2)
+        err: list = []
+
+        def collector():
+            try:
+                while True:
+                    h = hq.get()
+                    if h is None:
+                        return
+                    proofs.append(run.collect(h))
+            except Exception as e:  # surface in the main thread
+                err.append(e)
+
+        cth = threading.Thread(target=collector)
+        cth.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            hq.put(run.dispatch_vals(*item))
+            done += 1
+        hq.put(None)
+        cth.join()
+        th.join()
+        if err:
+            raise err[0]
+        assert len(proofs) == done
+    else:  # BENCH_PIPE=2deep: r3/r4 in-thread 2-deep pipeline
+        pending = None
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            # dispatch batch k+1 (async upload+prove) before collecting
+            # batch k's proof, so transfer overlaps compute
+            handle = run.dispatch_vals(*item)
+            if pending is not None:
+                proofs.append(run.collect(pending))
+                done += 1
+            pending = handle
         if pending is not None:
             proofs.append(run.collect(pending))
             done += 1
-        pending = handle
-    if pending is not None:
-        proofs.append(run.collect(pending))
-        done += 1
-    th.join()
+        th.join()
     dt = (time.time() - t0) / done
     # verify EVERY streamed proof (outside the timed section: host-side
     # verification must not distort the device throughput measurement).

@@ -66,7 +66,10 @@ class EcdsaProverSystem:
                  config: CircuitConfig | None = None, verbose: bool = False):
         self.curve = curve
         t0 = time.time()
-        b = CircuitBuilder(config or CircuitConfig.standard_ecc_config())
+        if config is None:
+            config = (CircuitConfig.p256_ecc_config() if curve is cn.P256
+                      else CircuitConfig.standard_ecc_config())
+        b = CircuitBuilder(config)
         sf = scalar_field(curve)
         msg = gn.add_virtual_nonnative(b, sf)
         r = gn.add_virtual_nonnative(b, sf)

@@ -34,6 +34,7 @@ from .gates import (
     BigCmpGate,
     ConstantGate,
     Gate,
+    NonNativeAddGate,
     NoopGate,
     PublicInputGate,
     RandomAccessGate,
@@ -202,6 +203,13 @@ class CircuitBuilder:
         self.basesum_ops = min(cfg.num_routed_wires // 30, cfg.num_wires // 30)
         self.ra_copies = cfg.num_routed_wires // 18
         self.rc_vals = {29: cfg.num_wires // 16, 34: cfg.num_wires // 18}
+        # nonnative add/sub + cmp pack op-major; every wire of an op must be
+        # ROUTED (limbs connect to other gates), so the packing width is
+        # bounded by the routed-wire count (2 at the standard 80)
+        self.nn_ops = max(1, min(cfg.num_routed_wires, cfg.num_wires)
+                          // NonNativeAddGate.OP_WIDTH)
+        self.cmp_ops = max(1, min(cfg.num_routed_wires, cfg.num_wires)
+                           // BigCmpGate.OP_WIDTH)
 
     # ------------------------------------------------------------------ targets
     def new_target(self) -> int:
@@ -250,6 +258,21 @@ class CircuitBuilder:
             t = self.new_target()
             self._wire_targets[key] = t
         return t
+
+    def _fill_partial_slots(self):
+        """Complete partially-filled pooled rows whose gate type is NOT
+        satisfied by all-zero wires (NonNativeAdd/Sub carry offsets, BigCmp's
+        le): the gate's fill_empty connects each unused op slot's wires to
+        the satisfying constants."""
+        for state in self._slots.values():
+            row, used, cap = state
+            gate = self.rows[row][0]
+            fill = getattr(gate, "fill_empty", None)
+            if fill is None:
+                continue
+            for op in range(used, cap):
+                fill(self, row, op)
+            state[1] = cap
 
     def op_slot(self, key, gate_factory, constants: tuple = ()):
         """Packed multi-op gates: returns (row, op_index)."""
@@ -599,6 +622,7 @@ class CircuitBuilder:
 
     def build(self) -> Circuit:
         cfg = self.config
+        self._fill_partial_slots()
         self._flush_range_pools()
         pi_layout = self._add_public_input_rows()
 

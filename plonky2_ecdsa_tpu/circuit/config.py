@@ -62,6 +62,19 @@ class CircuitConfig:
         return CircuitConfig()
 
     @staticmethod
+    def p256_ecc_config() -> "CircuitConfig":
+        """standard_ecc_config tuned so the P-256 windowed-mul circuit fits
+        n = 2^13 (VERDICT r4 next #5; it sat at 2^14 since r2): 64 constant
+        columns halve the ~18k-constant fixed-base-table rows (ConstantGate
+        exposes constants as routed wires, so 64 <= 80 routed is the cap),
+        and 31 range-lookup values/row (31*4+1 = 125 <= 128 wires) shave the
+        range rows.  Costs +32 fixed polys and +8 LogUp helper columns per
+        proof — cheap next to halving every per-domain-point stage.  secp
+        keeps standard_ecc_config: it is already at 2^13, where these knobs
+        only add overhead."""
+        return CircuitConfig(num_constant_cols=64, range_lookup_vals=31)
+
+    @staticmethod
     def wide_ecc_config() -> "CircuitConfig":
         # plonky2 wide_ecc_config widens the row (234 wires / 175 routed;
         # routed rounded to 176 here so permutation chunks divide evenly)
@@ -78,6 +91,23 @@ class CircuitConfig:
         return CircuitConfig(
             num_wires=136,  # plonky2 uses 135; rounded even for u32-pair packing
             num_routed_wires=80,
+            fri=FriConfig(rate_bits=3, cap_height=4, num_query_rounds=28,
+                          proof_of_work_bits=16),
+        )
+
+    @staticmethod
+    def recursion_ecc_config() -> "CircuitConfig":
+        """Outer config for recursively verifying the production ECDSA
+        circuit (VERDICT r4 next #1): rate-8 blowup (PoseidonGate is degree
+        7), and 128 ROUTED wires so the verifier circuit's ~230k pooled
+        arithmetic ops pack 32 per row instead of 20 at plonky2's 80 routed
+        — the difference between the outer circuit landing at n=2^14 vs
+        2^15.  28 queries x 3 bits/query + 16 PoW bits = 100-bit conjectured
+        security (plonky2 standard_recursion_config FRI parity); CI proves
+        the same circuit under a reduced-query outer FRI for wall-time."""
+        return CircuitConfig(
+            num_wires=136, num_routed_wires=128, num_constant_cols=2,
+            range_lookup_limb_bits=3,
             fri=FriConfig(rate_bits=3, cap_height=4, num_query_rounds=28,
                           proof_of_work_bits=16),
         )

@@ -439,131 +439,153 @@ class MulNonNativeGate(Gate):
 
 
 class NonNativeAddGate(Gate):
-    """a + b = s + ovf*m limbwise with in-gate {0,1,2} carries.
+    """num_ops independent ops: a + b = s + ovf*m limbwise with in-gate
+    {0,1,2} carries.
 
     Replaces the reference's hint+check add_nonnative row chain
     (src/gadgets/nonnative.rs:245-276): same statement (sum + overflow bool,
-    sum limbs externally range-checked; cmp vs modulus separate)."""
+    sum limbs externally range-checked; cmp vs modulus separate).  Ops pack
+    op-major at OP_WIDTH=36 wires (2 per 80-routed row; the single-op row
+    wasted 92 of 128 wire columns — r5 P-256 shrink).  A partially-filled
+    final row is completed by fill_empty (all-zero wires do NOT satisfy the
+    carry constraints: the stored carry is offset by +1)."""
 
     N = 9
+    OP_WIDTH = 3 * 9 + 1 + (9 - 1)  # a, b, s, ovf, carries = 36
 
-    def __init__(self, ff: ForeignField):
+    def __init__(self, ff: ForeignField, num_ops: int = 1):
         self.ff = ff
+        self.num_ops = num_ops
 
     def gate_id(self):
-        return f"NonNativeAdd({self.ff.name})"
+        return f"NonNativeAdd({self.ff.name},{self.num_ops})"
 
     @property
     def num_wires(self):
-        return 3 * self.N + 1 + (self.N - 1)
+        return self.num_ops * self.OP_WIDTH
 
     @property
     def num_constraints(self):
-        return self.N + 1 + (self.N - 1)
+        return self.num_ops * (self.N + 1 + (self.N - 1))
 
     degree = 3
 
-    def wire_a(self, i):
-        return i
+    def wire_a(self, i, op=0):
+        return op * self.OP_WIDTH + i
 
-    def wire_b(self, i):
-        return self.N + i
+    def wire_b(self, i, op=0):
+        return op * self.OP_WIDTH + self.N + i
 
-    def wire_s(self, i):
-        return 2 * self.N + i
+    def wire_s(self, i, op=0):
+        return op * self.OP_WIDTH + 2 * self.N + i
 
-    @property
-    def wire_ovf(self):
-        return 3 * self.N
+    def wire_ovf(self, op=0):
+        return op * self.OP_WIDTH + 3 * self.N
 
-    def wire_c(self, i):
-        return 3 * self.N + 1 + i
+    def wire_c(self, i, op=0):
+        return op * self.OP_WIDTH + 3 * self.N + 1 + i
+
+    def fill_empty(self, b, row, op):
+        """Make an unused op slot satisfiable: carries to the +1 offset's
+        zero point (everything else stays the default 0)."""
+        one = b.one()
+        for i in range(self.N - 1):
+            b.connect(b.wire(row, self.wire_c(i, op)), one)
 
     def eval(self, alg, wires, consts, ctx):
         N = self.N
         m = self.ff.limbs29
-        ovf = wires[self.wire_ovf]
         out = []
-        prev = None
-        for i in range(N):
-            acc = alg.add(wires[self.wire_a(i)], wires[self.wire_b(i)])
-            acc = alg.sub(acc, wires[self.wire_s(i)])
-            acc = alg.sub(acc, alg.mul_const(ovf, m[i]))
-            if prev is not None:
-                acc = alg.add(acc, prev)
-            if i < N - 1:
-                cur = alg.add_const(wires[self.wire_c(i)], -1)  # carry in {-1,0,1}
-                acc = alg.sub(acc, alg.mul_const(cur, 1 << BITS))
-                prev = cur
-            out.append(acc)
-        out.append(alg.mul(ovf, alg.add_const(ovf, -1)))  # ovf boolean
-        for i in range(N - 1):
-            c = wires[self.wire_c(i)]
-            t = alg.mul(c, alg.add_const(c, -1))
-            out.append(alg.mul(t, alg.add_const(c, -2)))  # c' in {0,1,2}
+        for op in range(self.num_ops):
+            ovf = wires[self.wire_ovf(op)]
+            prev = None
+            for i in range(N):
+                acc = alg.add(wires[self.wire_a(i, op)], wires[self.wire_b(i, op)])
+                acc = alg.sub(acc, wires[self.wire_s(i, op)])
+                acc = alg.sub(acc, alg.mul_const(ovf, m[i]))
+                if prev is not None:
+                    acc = alg.add(acc, prev)
+                if i < N - 1:
+                    cur = alg.add_const(wires[self.wire_c(i, op)], -1)  # {-1,0,1}
+                    acc = alg.sub(acc, alg.mul_const(cur, 1 << BITS))
+                    prev = cur
+                out.append(acc)
+            out.append(alg.mul(ovf, alg.add_const(ovf, -1)))  # ovf boolean
+            for i in range(N - 1):
+                c = wires[self.wire_c(i, op)]
+                t = alg.mul(c, alg.add_const(c, -1))
+                out.append(alg.mul(t, alg.add_const(c, -2)))  # c' in {0,1,2}
         return out
 
 
 class NonNativeSubGate(Gate):
-    """d = a - b + ovf*m limbwise (reference sub_nonnative semantics,
-    src/gadgets/nonnative.rs:356-388: a = d + b - ovf*m)."""
+    """num_ops independent ops: d = a - b + ovf*m limbwise (reference
+    sub_nonnative semantics, src/gadgets/nonnative.rs:356-388: a = d + b -
+    ovf*m).  Packing/fill_empty as NonNativeAddGate."""
 
     N = 9
+    OP_WIDTH = 3 * 9 + 1 + (9 - 1)  # 36
 
-    def __init__(self, ff: ForeignField):
+    def __init__(self, ff: ForeignField, num_ops: int = 1):
         self.ff = ff
+        self.num_ops = num_ops
 
     def gate_id(self):
-        return f"NonNativeSub({self.ff.name})"
+        return f"NonNativeSub({self.ff.name},{self.num_ops})"
 
     @property
     def num_wires(self):
-        return 3 * self.N + 1 + (self.N - 1)
+        return self.num_ops * self.OP_WIDTH
 
     @property
     def num_constraints(self):
-        return self.N + 1 + (self.N - 1)
+        return self.num_ops * (self.N + 1 + (self.N - 1))
 
     degree = 3
 
-    def wire_a(self, i):
-        return i
+    def wire_a(self, i, op=0):
+        return op * self.OP_WIDTH + i
 
-    def wire_b(self, i):
-        return self.N + i
+    def wire_b(self, i, op=0):
+        return op * self.OP_WIDTH + self.N + i
 
-    def wire_d(self, i):
-        return 2 * self.N + i
+    def wire_d(self, i, op=0):
+        return op * self.OP_WIDTH + 2 * self.N + i
 
-    @property
-    def wire_ovf(self):
-        return 3 * self.N
+    def wire_ovf(self, op=0):
+        return op * self.OP_WIDTH + 3 * self.N
 
-    def wire_c(self, i):
-        return 3 * self.N + 1 + i
+    def wire_c(self, i, op=0):
+        return op * self.OP_WIDTH + 3 * self.N + 1 + i
+
+    def fill_empty(self, b, row, op):
+        one = b.one()
+        for i in range(self.N - 1):
+            b.connect(b.wire(row, self.wire_c(i, op)), one)
 
     def eval(self, alg, wires, consts, ctx):
         N = self.N
         m = self.ff.limbs29
-        ovf = wires[self.wire_ovf]
         out = []
-        prev = None
-        for i in range(N):
-            acc = alg.sub(wires[self.wire_a(i)], wires[self.wire_b(i)])
-            acc = alg.add(acc, alg.mul_const(ovf, m[i]))
-            acc = alg.sub(acc, wires[self.wire_d(i)])
-            if prev is not None:
-                acc = alg.add(acc, prev)
-            if i < N - 1:
-                cur = alg.add_const(wires[self.wire_c(i)], -1)
-                acc = alg.sub(acc, alg.mul_const(cur, 1 << BITS))
-                prev = cur
-            out.append(acc)
-        out.append(alg.mul(ovf, alg.add_const(ovf, -1)))
-        for i in range(N - 1):
-            c = wires[self.wire_c(i)]
-            t = alg.mul(c, alg.add_const(c, -1))
-            out.append(alg.mul(t, alg.add_const(c, -2)))
+        for op in range(self.num_ops):
+            ovf = wires[self.wire_ovf(op)]
+            prev = None
+            for i in range(N):
+                acc = alg.sub(wires[self.wire_a(i, op)], wires[self.wire_b(i, op)])
+                acc = alg.add(acc, alg.mul_const(ovf, m[i]))
+                acc = alg.sub(acc, wires[self.wire_d(i, op)])
+                if prev is not None:
+                    acc = alg.add(acc, prev)
+                if i < N - 1:
+                    cur = alg.add_const(wires[self.wire_c(i, op)], -1)
+                    acc = alg.sub(acc, alg.mul_const(cur, 1 << BITS))
+                    prev = cur
+                out.append(acc)
+            out.append(alg.mul(ovf, alg.add_const(ovf, -1)))
+            for i in range(N - 1):
+                c = wires[self.wire_c(i, op)]
+                t = alg.mul(c, alg.add_const(c, -1))
+                out.append(alg.mul(t, alg.add_const(c, -2)))
         return out
 
 
@@ -633,56 +655,64 @@ class BigCmpGate(Gate):
     list_le_ux_circuit used by cmp_biguint (src/gadgets/biguint.rs:221-229)."""
 
     N = 9
+    OP_WIDTH = 2 * 9 + 1 + 9 + 9  # a, b, le, d, brw = 38
 
-    def __init__(self):
-        pass
+    def __init__(self, num_ops: int = 1):
+        self.num_ops = num_ops
 
     def gate_id(self):
-        return "BigCmp"
+        return f"BigCmp({self.num_ops})"
 
     @property
     def num_wires(self):
-        return 2 * self.N + 1 + self.N + self.N  # a, b, le, d, brw
+        return self.num_ops * self.OP_WIDTH
 
     @property
     def num_constraints(self):
-        return self.N + self.N + 1
+        return self.num_ops * (self.N + self.N + 1)
 
     degree = 2
 
-    def wire_a(self, i):
-        return i
+    def wire_a(self, i, op=0):
+        return op * self.OP_WIDTH + i
 
-    def wire_b(self, i):
-        return self.N + i
+    def wire_b(self, i, op=0):
+        return op * self.OP_WIDTH + self.N + i
 
-    @property
-    def wire_le(self):
-        return 2 * self.N
+    def wire_le(self, op=0):
+        return op * self.OP_WIDTH + 2 * self.N
 
-    def wire_d(self, i):
-        return 2 * self.N + 1 + i
+    def wire_d(self, i, op=0):
+        return op * self.OP_WIDTH + 2 * self.N + 1 + i
 
-    def wire_brw(self, i):
-        return 3 * self.N + 1 + i
+    def wire_brw(self, i, op=0):
+        return op * self.OP_WIDTH + 3 * self.N + 1 + i
+
+    def fill_empty(self, b, row, op):
+        """Unused op slot: a=b=0 needs le=1 (0 <= 0) to satisfy the final
+        le + brw - 1 = 0 constraint; everything else is zero-satisfied."""
+        b.connect(b.wire(row, self.wire_le(op)), b.one())
 
     def eval(self, alg, wires, consts, ctx):
         N = self.N
         out = []
-        prev = None
-        for i in range(N):
-            # b_i - a_i - brw_{i-1} + 2^29*brw_i - d_i = 0
-            acc = alg.sub(wires[self.wire_b(i)], wires[self.wire_a(i)])
-            if prev is not None:
-                acc = alg.sub(acc, prev)
-            acc = alg.add(acc, alg.mul_const(wires[self.wire_brw(i)], 1 << BITS))
-            acc = alg.sub(acc, wires[self.wire_d(i)])
-            out.append(acc)
-            prev = wires[self.wire_brw(i)]
-        for i in range(N):
-            b = wires[self.wire_brw(i)]
-            out.append(alg.mul(b, alg.add_const(b, -1)))
-        out.append(alg.sub(alg.add(wires[self.wire_le], wires[self.wire_brw(N - 1)]), alg.one()))
+        for op in range(self.num_ops):
+            prev = None
+            for i in range(N):
+                # b_i - a_i - brw_{i-1} + 2^29*brw_i - d_i = 0
+                acc = alg.sub(wires[self.wire_b(i, op)], wires[self.wire_a(i, op)])
+                if prev is not None:
+                    acc = alg.sub(acc, prev)
+                acc = alg.add(acc, alg.mul_const(wires[self.wire_brw(i, op)], 1 << BITS))
+                acc = alg.sub(acc, wires[self.wire_d(i, op)])
+                out.append(acc)
+                prev = wires[self.wire_brw(i, op)]
+            for i in range(N):
+                b = wires[self.wire_brw(i, op)]
+                out.append(alg.mul(b, alg.add_const(b, -1)))
+            out.append(alg.sub(alg.add(wires[self.wire_le(op)],
+                                       wires[self.wire_brw(N - 1, op)]),
+                               alg.one()))
         return out
 
 
@@ -1000,9 +1030,8 @@ def _tri_cons(pair, xp):
     return _gl.mul(*t, *_gl.add(*pair, *_add_const_pair(pair, -2, xp)))
 
 
-def _nnadd_eval_stacked(self, alg, warr, consts, ctx):
-    xp = alg.xp
-    lo, hi = warr
+def _nnaddsub_eval_stacked_op(self, is_sub, lo, hi, xp):
+    """One op window (OP_WIDTH wire rows) -> [18, ...] constraint pair."""
     N = self.N
     a = (lo[:N], hi[:N])
     b = (lo[N : 2 * N], hi[N : 2 * N])
@@ -1012,14 +1041,28 @@ def _nnadd_eval_stacked(self, alg, warr, consts, ctx):
     m = _const_pair_vec(self.ff.limbs29, lo.ndim - 1, xp)
     cur = _gl.add(*c, *_add_const_pair(c, -1, xp))  # carries in {-1,0,1}
     prevpad, curpad = _carry_chain_tail(cur, xp)
-    acc = _gl.sub(*_gl.add(*a, *b), *s)
-    acc = _gl.sub(*acc, *_gl.mul(*(ovf[0][None], ovf[1][None]), *m))
+    ovm = _gl.mul(*(ovf[0][None], ovf[1][None]), *m)
+    if is_sub:
+        acc = _gl.sub(*_gl.add(*_gl.sub(*a, *b), *ovm), *s)
+    else:
+        acc = _gl.sub(*_gl.sub(*_gl.add(*a, *b), *s), *ovm)
     acc = _gl.add(*acc, *prevpad)
     acc = _gl.sub(*acc, *_gl.mul_small(*curpad, _np.uint32(1 << BITS)))
     ob = _bool_cons((ovf[0][None], ovf[1][None]), xp)
     cc = _tri_cons(c, xp)
     return (xp.concatenate([acc[0], ob[0], cc[0]], 0),
             xp.concatenate([acc[1], ob[1], cc[1]], 0))
+
+
+def _nnadd_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    lo, hi = warr
+    W = self.OP_WIDTH
+    outs = [_nnaddsub_eval_stacked_op(
+        self, False, lo[op * W : (op + 1) * W], hi[op * W : (op + 1) * W], xp)
+        for op in range(self.num_ops)]
+    return (xp.concatenate([o[0] for o in outs], 0),
+            xp.concatenate([o[1] for o in outs], 0))
 
 
 NonNativeAddGate.eval_stacked = _nnadd_eval_stacked
@@ -1028,24 +1071,12 @@ NonNativeAddGate.eval_stacked = _nnadd_eval_stacked
 def _nnsub_eval_stacked(self, alg, warr, consts, ctx):
     xp = alg.xp
     lo, hi = warr
-    N = self.N
-    a = (lo[:N], hi[:N])
-    b = (lo[N : 2 * N], hi[N : 2 * N])
-    d = (lo[2 * N : 3 * N], hi[2 * N : 3 * N])
-    ovf = (lo[3 * N], hi[3 * N])
-    c = (lo[3 * N + 1 :], hi[3 * N + 1 :])
-    m = _const_pair_vec(self.ff.limbs29, lo.ndim - 1, xp)
-    cur = _gl.add(*c, *_add_const_pair(c, -1, xp))
-    prevpad, curpad = _carry_chain_tail(cur, xp)
-    acc = _gl.sub(*a, *b)
-    acc = _gl.add(*acc, *_gl.mul(*(ovf[0][None], ovf[1][None]), *m))
-    acc = _gl.sub(*acc, *d)
-    acc = _gl.add(*acc, *prevpad)
-    acc = _gl.sub(*acc, *_gl.mul_small(*curpad, _np.uint32(1 << BITS)))
-    ob = _bool_cons((ovf[0][None], ovf[1][None]), xp)
-    cc = _tri_cons(c, xp)
-    return (xp.concatenate([acc[0], ob[0], cc[0]], 0),
-            xp.concatenate([acc[1], ob[1], cc[1]], 0))
+    W = self.OP_WIDTH
+    outs = [_nnaddsub_eval_stacked_op(
+        self, True, lo[op * W : (op + 1) * W], hi[op * W : (op + 1) * W], xp)
+        for op in range(self.num_ops)]
+    return (xp.concatenate([o[0] for o in outs], 0),
+            xp.concatenate([o[1] for o in outs], 0))
 
 
 NonNativeSubGate.eval_stacked = _nnsub_eval_stacked
@@ -1072,9 +1103,7 @@ def _nnaddmany_eval_stacked(self, alg, warr, consts, ctx):
 NonNativeAddManyGate.eval_stacked = _nnaddmany_eval_stacked
 
 
-def _bigcmp_eval_stacked(self, alg, warr, consts, ctx):
-    xp = alg.xp
-    lo, hi = warr
+def _bigcmp_eval_stacked_op(self, lo, hi, xp):
     N = self.N
     a = (lo[:N], hi[:N])
     b = (lo[N : 2 * N], hi[N : 2 * N])
@@ -1093,6 +1122,17 @@ def _bigcmp_eval_stacked(self, alg, warr, consts, ctx):
     fin = _gl.add(last[0][None], last[1][None], *one)
     return (xp.concatenate([acc[0], bools[0], fin[0]], 0),
             xp.concatenate([acc[1], bools[1], fin[1]], 0))
+
+
+def _bigcmp_eval_stacked(self, alg, warr, consts, ctx):
+    xp = alg.xp
+    lo, hi = warr
+    W = self.OP_WIDTH
+    outs = [_bigcmp_eval_stacked_op(
+        self, lo[op * W : (op + 1) * W], hi[op * W : (op + 1) * W], xp)
+        for op in range(self.num_ops)]
+    return (xp.concatenate([o[0] for o in outs], 0),
+            xp.concatenate([o[1] for o in outs], 0))
 
 
 BigCmpGate.eval_stacked = _bigcmp_eval_stacked

@@ -369,10 +369,16 @@ def _tree_depth(leaves: int, cap_height: int):
     return _ilog2(leaves) - ch, 1 << ch
 
 
-def build_recursive_verifier(b, data: CircuitData):
+def build_recursive_verifier(b, data: CircuitData, prefix: str = ""):
     """Emit the complete verifier circuit for proofs of `data` into builder
     `b`.  Returns the input-layout dict consumed by
-    recursive_verifier_inputs()."""
+    recursive_verifier_inputs().
+
+    `prefix` namespaces every witness-input name (and is passed through by
+    recursive_verifier_inputs), so MULTIPLE verifier blocks can coexist in
+    one outer circuit — the building block of proof aggregation
+    (build_aggregation_verifier): plonky2's recursion exists precisely to
+    fold many proofs into one (SURVEY.md §2.9)."""
     from ..prover import fri as fri_mod
     from ..prover import ntt
     from .challenger_circuit import (CircuitChallenger, merkle_verify_circuit,
@@ -396,12 +402,12 @@ def build_recursive_verifier(b, data: CircuitData):
 
     def base_vec(name, k):
         ts = b.add_virtual_targets(k)
-        b.register_input(name, ts)
+        b.register_input(prefix + name, ts)
         return ts
 
     def ext_vec(name, k):
         es = [add_virtual_ext(b) for _ in range(k)]
-        b.register_input(name, [t for e in es for t in e])
+        b.register_input(prefix + name, [t for e in es for t in e])
         return es
 
     def cap_vec(name, cap_size):
@@ -477,6 +483,17 @@ def build_recursive_verifier(b, data: CircuitData):
     for _ in range(len(z_idx) - 1):
         apows1.append(alg.mul(apows1[-1], fri_alpha))
     apow_T = alg.mul(apows[-1], fri_alpha)
+    # Query-independent halves of the FRI reduced values, hoisted OUT of the
+    # per-query loop: sum_i a^i (leaf_i - open_i) = sum_i a^i leaf_i - S0
+    # with S0 = sum_i a^i open_i shared by all Q queries (leaf_i is a base
+    # target, so the per-query term is a 2-op ext*base mul — this halves the
+    # dominant arithmetic-row count of the verifier circuit).
+    sum_open0 = alg.zero()
+    for i in range(total):
+        sum_open0 = alg.add(sum_open0, alg.mul(apows[i], open0[i]))
+    sum_open1 = alg.zero()
+    for c in range(len(z_idx)):
+        sum_open1 = alg.add(sum_open1, alg.mul(apows1[c], open1[c]))
     gzeta = alg.mul_const(zeta, data.g)
     g_N = pow(gl.POWER_OF_TWO_GENERATOR, (1 << 32) // N, P)
     inv2 = pow(2, -1, P)
@@ -488,10 +505,6 @@ def build_recursive_verifier(b, data: CircuitData):
                    ("quot", sl_off["quot"], C * (N // n))]
     tree_caps = {"fixed": fixed_cap_const, "wires": wires_cap,
                  "zs": zs_cap, "quot": quot_cap}
-
-    def ext_sub_base(v_t, y):
-        """base target v - ext target y."""
-        return ExtTarget(b.sub(v_t, y[0]), b.mul_const(P - 1, y[1]))
 
     def ext_select(bit, x, y):
         return ExtTarget(b.select(bit, x[0], y[0]), b.select(bit, x[1], y[1]))
@@ -521,19 +534,19 @@ def build_recursive_verifier(b, data: CircuitData):
             merkle_verify_circuit(b, leaf, ibits, path, tree_caps[name])
         x = pow_product_circuit(b, ibits, g_N, ntt.COSET_SHIFT)
 
-        # reduced value at x
+        # reduced value at x: sum_i a^i leaf_i - (hoisted) sum_i a^i open_i
         red0 = alg.zero()
         for i in range(total):
-            diff = ext_sub_base(leaf_all[i], open0[i])
-            red0 = alg.add(red0, alg.mul(apows[i], diff))
+            red0 = alg.add(red0, ext_mul_base(b, apows[i], leaf_all[i]))
+        red0 = alg.sub(red0, sum_open0)
         inv_xz = ext_inverse_circuit(b, ExtTarget(b.sub(x, zeta[0]),
                                                   b.mul_const(P - 1, zeta[1])))
         Fv = alg.mul(red0, inv_xz)
         red1 = alg.zero()
         for c, zi in enumerate(z_idx):
             v_t = leaf_all[sl_off["zs"] + zi]
-            diff = ext_sub_base(v_t, open1[c])
-            red1 = alg.add(red1, alg.mul(apows1[c], diff))
+            red1 = alg.add(red1, ext_mul_base(b, apows1[c], v_t))
+        red1 = alg.sub(red1, sum_open1)
         inv_xgz = ext_inverse_circuit(b, ExtTarget(b.sub(x, gzeta[0]),
                                                    b.mul_const(P - 1, gzeta[1])))
         Fv = alg.add(Fv, alg.mul(apow_T, alg.mul(red1, inv_xgz)))
@@ -580,9 +593,10 @@ def build_recursive_verifier(b, data: CircuitData):
     }
 
 
-def recursive_verifier_inputs(data: CircuitData, proof) -> dict:
+def recursive_verifier_inputs(data: CircuitData, proof, prefix: str = "") -> dict:
     """Host Proof (B lanes) -> witness-input dict for the circuit built by
-    build_recursive_verifier (one outer lane verifies one inner lane)."""
+    build_recursive_verifier (one outer lane verifies one inner lane;
+    `prefix` must match the builder call's)."""
     from ..prover import fri as fri_mod
 
     cfg = data.circuit.config
@@ -634,4 +648,50 @@ def recursive_verifier_inputs(data: CircuitData, proof) -> dict:
         out["layer_leaves"] = np.zeros((B, 0), np.uint64)
     for l in range(num_layers):
         out[f"layer_path{l}"] = u64(fp.layer_paths[l]).reshape(B, -1)
+    return {prefix + k: v for k, v in out.items()}
+
+
+# ===========================================================================
+# Proof aggregation (VERDICT r4 next #2): one outer circuit that verifies
+# TWO inner proof lanes and re-exports BOTH statements' public inputs.
+# Folding a batch of 2^k proofs through k levels of this circuit compresses
+# them into ONE proof whose public inputs bind every statement — the purpose
+# recursion exists for.  Each verifier block is a full build_recursive_
+# verifier instantiation (per-lane layout, recursive_verifier.py:356-357);
+# the blocks share the builder's gate pool, so Poseidon/arithmetic rows pack
+# together.
+# ===========================================================================
+
+
+def build_aggregation_verifier(b, data: CircuitData, fan_in: int = 2):
+    """Emit `fan_in` complete verifier blocks for proofs of `data` into
+    builder `b`.  Block i's witness inputs are prefixed 'pi_'; the outer
+    public inputs are block 0's inner PIs followed by block 1's (the order
+    b.register_public_inputs was called in).  Returns the per-block layout
+    dicts."""
+    return [build_recursive_verifier(b, data, prefix=f"p{i}_")
+            for i in range(fan_in)]
+
+
+def aggregation_inputs(data: CircuitData, proofs: list) -> dict:
+    """[fan_in] host Proofs (each B outer-lanes' worth of inner lanes) ->
+    witness-input dict for build_aggregation_verifier: outer lane j verifies
+    proofs[0] lane j AND proofs[1] lane j."""
+    out = {}
+    for i, proof in enumerate(proofs):
+        out.update(recursive_verifier_inputs(data, proof, prefix=f"p{i}_"))
     return out
+
+
+def split_proof_lanes(proof, stride: int = 2):
+    """One B-lane Proof -> `stride` Proofs of B/stride lanes (lane j of part
+    i = original lane j*stride + i), for feeding aggregation_inputs: pairing
+    lanes (2j, 2j+1) under one outer lane folds a 2^k-lane batch by half per
+    recursion level."""
+    import jax
+
+    from ..prover.prover import _register_pytrees
+
+    _register_pytrees()
+    return [jax.tree_util.tree_map(lambda a: np.asarray(a)[i::stride], proof)
+            for i in range(stride)]

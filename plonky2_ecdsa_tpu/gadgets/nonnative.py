@@ -121,16 +121,16 @@ def _connect_padded(b: CircuitBuilder, row: int, wire_fn, limbs):
 def assert_canonical(b: CircuitBuilder, x: NonNativeTarget):
     """Constrain value(x) <= m - 1 (strict canonicity, BigCmpGate)."""
     ff = x.ff
-    gate = BigCmpGate()
-    row = b.add_row(gate)
-    _connect_padded(b, row, gate.wire_a, x.limbs)
+    row, op = b.op_slot("bigcmp", lambda: BigCmpGate(b.cmp_ops))
+    gate: BigCmpGate = b.rows[row][0]
+    _connect_padded(b, row, lambda i: gate.wire_a(i, op), x.limbs)
     mm1 = ff.m - 1
     for i in range(N):
-        b.connect(b.wire(row, gate.wire_b(i)), b.constant((mm1 >> (BITS * i)) & MASK29))
-    le = b.wire(row, gate.wire_le)
+        b.connect(b.wire(row, gate.wire_b(i, op)), b.constant((mm1 >> (BITS * i)) & MASK29))
+    le = b.wire(row, gate.wire_le(op))
     b.assert_one(le)
-    d_ts = [b.wire(row, gate.wire_d(i)) for i in range(N)]
-    brw_ts = [b.wire(row, gate.wire_brw(i)) for i in range(N)]
+    d_ts = [b.wire(row, gate.wire_d(i, op)) for i in range(N)]
+    brw_ts = [b.wire(row, gate.wire_brw(i, op)) for i in range(N)]
     for t in d_ts:
         b.range_check(t, BITS)
 
@@ -295,13 +295,13 @@ def add_nonnative(b: CircuitBuilder, x: NonNativeTarget, y: NonNativeTarget,
                   range_check: bool = True) -> NonNativeTarget:
     """x + y with modulus fold (reference nonnative.rs:245-276)."""
     ff = x.ff
-    gate = NonNativeAddGate(ff)
-    row = b.add_row(gate)
-    _connect_padded(b, row, gate.wire_a, x.limbs)
-    _connect_padded(b, row, gate.wire_b, y.limbs)
-    s_ts = [b.wire(row, gate.wire_s(i)) for i in range(N)]
-    ovf = b.wire(row, gate.wire_ovf)
-    c_ts = [b.wire(row, gate.wire_c(i)) for i in range(N - 1)]
+    row, op = b.op_slot(("nnadd", ff.name), lambda: NonNativeAddGate(ff, b.nn_ops))
+    gate: NonNativeAddGate = b.rows[row][0]
+    _connect_padded(b, row, lambda i: gate.wire_a(i, op), x.limbs)
+    _connect_padded(b, row, lambda i: gate.wire_b(i, op), y.limbs)
+    s_ts = [b.wire(row, gate.wire_s(i, op)) for i in range(N)]
+    ovf = b.wire(row, gate.wire_ovf(op))
+    c_ts = [b.wire(row, gate.wire_c(i, op)) for i in range(N - 1)]
     for t in s_ts:
         b.range_check(t, BITS)
     x_t, y_t = list(x.limbs), list(y.limbs)
@@ -345,13 +345,13 @@ def sub_nonnative(b: CircuitBuilder, x: NonNativeTarget, y: NonNativeTarget,
                   range_check: bool = True) -> NonNativeTarget:
     """x - y mod m (reference nonnative.rs:356-388)."""
     ff = x.ff
-    gate = NonNativeSubGate(ff)
-    row = b.add_row(gate)
-    _connect_padded(b, row, gate.wire_a, x.limbs)
-    _connect_padded(b, row, gate.wire_b, y.limbs)
-    d_ts = [b.wire(row, gate.wire_d(i)) for i in range(N)]
-    ovf = b.wire(row, gate.wire_ovf)
-    c_ts = [b.wire(row, gate.wire_c(i)) for i in range(N - 1)]
+    row, op = b.op_slot(("nnsub", ff.name), lambda: NonNativeSubGate(ff, b.nn_ops))
+    gate: NonNativeSubGate = b.rows[row][0]
+    _connect_padded(b, row, lambda i: gate.wire_a(i, op), x.limbs)
+    _connect_padded(b, row, lambda i: gate.wire_b(i, op), y.limbs)
+    d_ts = [b.wire(row, gate.wire_d(i, op)) for i in range(N)]
+    ovf = b.wire(row, gate.wire_ovf(op))
+    c_ts = [b.wire(row, gate.wire_c(i, op)) for i in range(N - 1)]
     for t in d_ts:
         b.range_check(t, BITS)
     x_t, y_t = list(x.limbs), list(y.limbs)

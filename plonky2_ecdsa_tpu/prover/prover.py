@@ -1144,6 +1144,11 @@ def _quotient_num_chunks(N: int, xp, B: int = 32) -> int:
     two the product always divides."""
     if xp is np:
         return 1
+    env = os.environ.get("PLONKY2_TPU_QCHUNKS")
+    if env:  # profiling override (scripts/exp_quotient.py)
+        nch = int(env)
+        assert N % nch == 0, (N, nch)
+        return nch
     bmul = max(1, B // 32)
     bmul = 1 << (bmul.bit_length() - 1)  # largest power of two <= bmul
     nch = max(1, (N // (1 << 14)) * bmul)

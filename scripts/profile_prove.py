@@ -27,11 +27,15 @@ from plonky2_ecdsa_tpu.jaxcfg import setup_cache
 
 setup_cache()
 
+CIRCUIT_REV = "r5a"  # bump when the ECDSA circuit shape changes (invalidates /tmp caches)
+
+
 def _cache_paths(B):
     from plonky2_ecdsa_tpu.circuit.config import CircuitConfig
 
     cfg = CircuitConfig.standard_ecc_config()
-    tag = f"r{cfg.fri.rate_bits}c{cfg.permutation_chunk_size}q{cfg.fri.num_query_rounds}b{B}"
+    tag = (f"{CIRCUIT_REV}r{cfg.fri.rate_bits}c{cfg.permutation_chunk_size}"
+           f"q{cfg.fri.num_query_rounds}b{B}")
     return f"/tmp/ecdsa_data_{tag}.npz", f"/tmp/ecdsa_wit_{tag}.npz"
 
 

@@ -2,6 +2,8 @@
 small circuits (the reference's gadget tests all run through the real prover,
 SURVEY.md §4; CPU-sized circuits here, full ECDSA proving on device)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -273,6 +275,29 @@ def test_grind_pallas_exhaustion_flag():
     w, found = grind_pallas(jnp.asarray(lo), jnp.asarray(hi), 26,
                             max_candidates=GRIND_BLOCK, interpret=True)
     assert not np.asarray(found).any()
+
+
+@pytest.mark.slow
+def test_preflight_frozen_digests_match_recomputed():
+    """tests/vectors/preflight_digests.json (the bench preflight's frozen
+    numpy references) still matches a from-scratch recomputation — guards
+    silent Poseidon/field/batch-inverse semantic drift behind the digests."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import scripts.tpu_checks as t
+
+    with open(t._PREFLIGHT_VECTORS) as f:
+        frozen = json.load(f)
+    saved = t._PREFLIGHT_VECTORS
+    t._PREFLIGHT_VECTORS = saved + ".force-recompute"
+    try:
+        _inputs, recomputed = t._preflight_host_side(
+            np.random.default_rng(0xECD5A))
+    finally:
+        t._PREFLIGHT_VECTORS = saved
+    assert recomputed == frozen
 
 
 def test_verify_rejects_tampered_pow_witness():

@@ -20,7 +20,8 @@ from plonky2_ecdsa_tpu.circuit.builder import CircuitBuilder
 from plonky2_ecdsa_tpu.circuit.config import CircuitConfig, FriConfig
 from plonky2_ecdsa_tpu.circuit.poseidon_gate import PoseidonGate, poseidon_permute
 from plonky2_ecdsa_tpu.circuit.recursive_verifier import (
-    build_recursive_verifier, recursive_verifier_inputs)
+    aggregation_inputs, build_aggregation_verifier, build_recursive_verifier,
+    recursive_verifier_inputs, split_proof_lanes)
 from plonky2_ecdsa_tpu.circuit.witness import check_constraints
 from plonky2_ecdsa_tpu.fields import goldilocks as gl
 from plonky2_ecdsa_tpu.hash import poseidon
@@ -185,3 +186,149 @@ def test_recursive_proof_e2e():
     fails = check_constraints(oc, Wb, oc.public_input_values(),
                               raise_on_fail=False)
     assert fails, "tampered inner proof still satisfies the outer circuit"
+
+
+@pytest.mark.slow
+def test_recursive_ecdsa_proof():
+    """Recursive verification of the PRODUCTION secp256k1 ECDSA proof
+    (VERDICT r4 next #1): build the verifier circuit for the n=2^13 /
+    128-wire / LogUp / 42-query / 16-PoW-bit circuit, prove an ECDSA batch,
+    feed the proof as outer witness, FRI-prove the verifier circuit, verify
+    natively, and check the 45 statement limbs are re-exported as outer
+    public inputs.  The outer FRI config is reduced for CPU wall-time; the
+    production-security outer is CircuitConfig.standard_recursion_config()
+    (28 queries x 3 bits + 16 PoW = 100 bits at rate 8), which runs the SAME
+    outer circuit — only the outer proving cost differs."""
+    import time
+
+    from plonky2_ecdsa_tpu import api
+    from plonky2_ecdsa_tpu.curve import native as cn
+
+    B = 1
+    t0 = time.time()
+    system = api.EcdsaProverSystem(cn.SECP256K1)
+    idata = system.data
+    stmts = api.random_statements(cn.SECP256K1, B, seed=17)
+    W, ipis = system.witness(stmts)
+    iproof = prove(idata, W, ipis)
+    assert verify(idata, iproof)
+    t1 = time.time()
+    print(f"inner: n={idata.n} proved in {t1-t0:.0f}s")
+
+    # recursion_ecc_config's circuit shape (136 wires / 128 routed: the
+    # verifier's pooled arithmetic packs 32 ops/row -> n=2^14) with a
+    # reduced outer FRI for CPU wall-time; the production-security outer
+    # (28 queries, 16 PoW bits) runs the IDENTICAL circuit.
+    import dataclasses
+
+    prod = CircuitConfig.recursion_ecc_config()
+    ob = CircuitBuilder(dataclasses.replace(prod, fri=FriConfig(
+        rate_bits=3, cap_height=1, num_query_rounds=4, proof_of_work_bits=4)))
+    build_recursive_verifier(ob, idata)
+    oc = ob.build()
+    counts = {g.gate_id(): len(oc.gate_rows.get(gi, ()))
+              for gi, g in enumerate(oc.gates)}
+    nrows = int((oc.row_gate_idx >= 0).sum())
+    t2 = time.time()
+    print(f"production ECDSA verifier circuit: n={oc.n} ({nrows} rows, "
+          f"built in {t2-t1:.0f}s) gate histogram: {counts}")
+
+    inputs = recursive_verifier_inputs(idata, iproof)
+    Wo = oc.generate_witness(inputs, B)
+    opis = oc.public_input_values()
+    assert np.array_equal(opis, ipis), "45 statement limbs must re-export"
+    check_constraints(oc, Wo, opis)
+    t3 = time.time()
+    print(f"outer witness+check: {t3-t2:.0f}s")
+
+    odata = build_circuit_data(oc)
+    oproof = prove(odata, Wo, opis)
+    assert verify(odata, oproof), "recursive ECDSA proof must verify"
+    assert verify_one_exact(odata, oproof, 0)
+    t4 = time.time()
+    print(f"outer: N={odata.N} proved in {t4-t3:.0f}s")
+
+    # negative: tamper one statement limb of the inner proof
+    bad = copy.deepcopy(iproof)
+    bad.pis[0, 0] ^= np.uint64(1)
+    Wb = oc.generate_witness(recursive_verifier_inputs(idata, bad), B)
+    fails = check_constraints(oc, Wb, oc.public_input_values(),
+                              raise_on_fail=False)
+    assert fails, "tampered ECDSA statement still satisfies the verifier"
+
+
+def _agg_outer_config() -> CircuitConfig:
+    """Outer config for aggregation LEVELS: rate-8 (PoseidonGate), minimal
+    FRI so the level-2 verifier-of-the-aggregator circuit stays CPU-sized.
+    Correctness parameterization for the fold test, not a security one (the
+    production outer is CircuitConfig.standard_recursion_config())."""
+    return CircuitConfig(
+        num_wires=136, num_routed_wires=80, num_constant_cols=2,
+        range_lookup_limb_bits=3,
+        fri=FriConfig(rate_bits=3, cap_height=1, num_query_rounds=3,
+                      proof_of_work_bits=2, final_poly_max_degree_bits=5),
+    )
+
+
+@pytest.mark.slow
+def test_aggregation_tree_4_to_1():
+    """2-to-1 proof aggregation (VERDICT r4 next #2): one outer circuit
+    verifies TWO inner proof lanes and re-exports both statements' public
+    inputs; folding 4 demo proofs -> 2 -> 1 through two recursion levels
+    yields ONE proof whose public inputs bind all four statements."""
+    rng = np.random.default_rng(99)
+    ic = _inner_circuit()
+    B = 4
+    xs = rng.integers(0, 1 << 29, size=(B, 1), dtype=np.uint64)
+    ys = rng.integers(0, P, size=(B, 1), dtype=np.uint64) % np.uint64(P)
+    Wi = ic.generate_witness({"x": xs, "y": ys}, B)
+    ipis = ic.public_input_values()
+    idata = build_circuit_data(ic)
+    iproof = prove(idata, Wi, ipis)
+    assert verify(idata, iproof)
+
+    # ---- level 1: 4 lanes -> 2 outer lanes, each verifying TWO inners -----
+    ab = CircuitBuilder(_agg_outer_config())
+    build_aggregation_verifier(ab, idata)
+    ac = ab.build()
+    single = CircuitBuilder(_agg_outer_config())
+    build_recursive_verifier(single, idata)
+    sc = single.build()
+    print(f"aggregation rows: 2-to-1 n={ac.n} "
+          f"({int((ac.row_gate_idx >= 0).sum())} rows) vs single-verify "
+          f"n={sc.n} ({int((sc.row_gate_idx >= 0).sum())} rows)")
+
+    halves = split_proof_lanes(iproof)   # lanes [0,2] and [1,3]
+    W1 = ac.generate_witness(aggregation_inputs(idata, halves), 2)
+    apis = ac.public_input_values()
+    # outer lane j binds statements of inner lanes 2j and 2j+1
+    want = np.concatenate([ipis[0::2], ipis[1::2]], axis=1)
+    assert np.array_equal(apis, want)
+    adata = build_circuit_data(ac)
+    aproof = prove(adata, W1, apis)
+    assert verify(adata, aproof)
+
+    # ---- level 2: 2 aggregated lanes -> 1 proof binding all 4 -------------
+    ab2 = CircuitBuilder(_agg_outer_config())
+    build_aggregation_verifier(ab2, adata)
+    ac2 = ab2.build()
+    print(f"level-2 aggregator: n={ac2.n} "
+          f"({int((ac2.row_gate_idx >= 0).sum())} rows)")
+    halves2 = split_proof_lanes(aproof)
+    W2 = ac2.generate_witness(aggregation_inputs(adata, halves2), 1)
+    apis2 = ac2.public_input_values()
+    want2 = np.concatenate([apis[0::2], apis[1::2]], axis=1)
+    assert np.array_equal(apis2, want2)
+    # the root proof's PIs are exactly the four statements' PIs in lane order
+    assert np.array_equal(apis2[0].reshape(B, ipis.shape[1]), ipis)
+    adata2 = build_circuit_data(ac2)
+    aproof2 = prove(adata2, W2, apis2)
+    assert verify(adata2, aproof2), "root aggregation proof must verify"
+
+    # tampering any leaf statement breaks the corresponding level-1 witness
+    bad = copy.deepcopy(iproof)
+    bad.pis[2, 0] ^= np.uint64(1)
+    Wb = ac.generate_witness(aggregation_inputs(idata, split_proof_lanes(bad)), 2)
+    fails = check_constraints(ac, Wb, ac.public_input_values(),
+                              raise_on_fail=False)
+    assert fails, "tampered leaf statement still aggregates"
