@@ -296,6 +296,65 @@ def mul(alo, ahi, blo, bhi):
     return reduce128(*mul64(alo, ahi, blo, bhi))
 
 
+# ---------------------------------------------------------------------------
+# Lazily-canonicalized mul/square (u32 kernel path)
+#
+# reduce128 is exact mod p for ANY u64-pair inputs, so a chain of multiplies
+# (e.g. the Poseidon x^7 S-box) only needs the representative to stay < 2^64
+# between steps — the final canonicalize (cmp + conditional subtract, ~16 VPU
+# ops of a mul's ~85) can be skipped until a consumer needs the canonical
+# form.  In the Poseidon2 kernel every linear layer ends in a modular
+# recombination that canonicalizes, so S-box interiors never leak
+# non-canonical values into round outputs (kernel parity with the u64
+# reference path is bit-exact).
+# ---------------------------------------------------------------------------
+
+def reduce128_nc(r0, r1, r2, r3):
+    """reduce128 without the final canonicalize: result is a u64-pair
+    representative of the class mod p (may lie in [p, 2^64))."""
+    tlo, thi, brw = sub64(r0, r1, r3, r3 * np.uint32(0))
+    tlo, thi, _ = sub64(tlo, thi, brw * EPS, brw * np.uint32(0))
+    z = np.uint32(0)
+    ulo = z - r2
+    uhi = r2 - (r2 != 0).astype(np.uint32)
+    lo, hi, c = add64(tlo, thi, ulo, uhi)
+    lo, hi, _ = add64(lo, hi, c * EPS, c * z)
+    return lo, hi
+
+
+def square64(alo, ahi):
+    """Full 64-bit square -> four u32 (3 mul32s: the cross term is shared)."""
+    lll, llh = mul32(alo, alo)
+    hhl, hhh = mul32(ahi, ahi)
+    xl, xh = mul32(alo, ahi)
+    # doubled cross term (65 bits): 2^32 * (2 * cross)
+    top = xh >> 31                     # bit 64 of 2*cross
+    xh2 = (xh << 1) | (xl >> 31)
+    xl2 = xl << 1
+    r0 = lll
+    r1, c1 = addc32(llh, xl2)
+    r2, c2 = addc32(hhl, xh2)
+    r2, c3 = addc32(r2, c1)
+    r3 = hhh + c2 + c3 + top           # cannot wrap: hhh <= 2^32 - 2^17 + 1
+    return r0, r1, r2, r3
+
+
+def mul_nc(alo, ahi, blo, bhi):
+    """(a * b) mod p; inputs ANY u64 pairs, result possibly non-canonical."""
+    xp = _xp(alo, ahi, blo, bhi)
+    if _use_u64(xp):
+        return mul(alo, ahi, blo, bhi)
+    return reduce128_nc(*mul64(alo, ahi, blo, bhi))
+
+
+def square_nc(alo, ahi):
+    """a^2 mod p; input ANY u64 pair, result possibly non-canonical."""
+    xp = _xp(alo, ahi)
+    if _use_u64(xp):
+        return mul(alo, ahi, alo, ahi)
+    return reduce128_nc(*square64(alo, ahi))
+
+
 def mul_small(alo, ahi, c):
     """a * c mod p with c a u32 scalar constant (cheap 96-bit fold)."""
     xp = _xp(alo, ahi)

@@ -1,4 +1,4 @@
-"""Pallas/Mosaic TPU kernel for the Poseidon permutation.
+"""Pallas/Mosaic TPU kernel for the Poseidon2 permutation.
 
 Why a kernel: the jnp formulation of one permutation traces ~3k XLA ops, and a
 full prove inlines the permutation at ~100 call sites (Merkle levels x trees +
@@ -10,7 +10,7 @@ rounds, where XLA would materialize inter-round state between fusions.
 
 Kernel design notes (Mosaic-dictated):
   * The WIDTH=12 state lives as 12 separate [S, 128] row vectors carried as a
-    pytree through the round loops — the MDS circulant then needs NO rolls,
+    pytree through the round loops — the linear layers then need NO rolls,
     reshapes, or gathers (all unsupported/slow on the (sublane, lane) tile),
     just static Python indexing of rows.
   * Round constants sit in SMEM as a [30, 12] scalar table; each round reads
@@ -35,61 +35,52 @@ import numpy as np
 BLOCK_SUBLANES = 64  # per-block lane count = 64 * 128 = 8192 hash lanes
 
 
-def _sbox_rows(rows, mul):
-    """x^7 per row; rows = list of (lo, hi)."""
+def _sbox_rows(rows):
+    """x^7 per row; rows = list of (lo, hi).
+
+    Lazily canonicalized (gl.square_nc/mul_nc): interiors stay u64-pair
+    representatives mod p; the linear layer that consumes each S-box output
+    re-canonicalizes in its recombination step, so round outputs (and the
+    kernel's results) are bit-identical to the canonical reference path."""
+    from ..fields import goldilocks as gl
+
     out = []
     for lo, hi in rows:
-        x2 = mul(lo, hi, lo, hi)
-        x4 = mul(*x2, *x2)
-        x3 = mul(*x2, lo, hi)
-        out.append(mul(*x4, *x3))
+        x2 = gl.square_nc(lo, hi)
+        x4 = gl.square_nc(*x2)
+        x3 = gl.mul_nc(*x2, lo, hi)
+        out.append(gl.mul_nc(*x4, *x3))
     return out
 
 
 def _permute_rows(rc_lo_ref, rc_hi_ref, rows):
-    """Shared 30-round permutation body over a list of 12 (lo, hi) row
-    arrays (used by the bulk permutation kernel and the grind kernel)."""
+    """Shared 30-round Poseidon2 permutation body over a list of 12 (lo, hi)
+    row arrays (used by the bulk permutation kernel and the grind kernel).
+
+    Linear layers are the lazy 22-bit-part-plane formulations shared with
+    hash/poseidon.py (_ext_layer_rows_u32 / _int_layer_rows_u32): the
+    external M4-block schedule and the internal sum+diag layer both
+    accumulate in plain u32 lanes with one modular recombination per row."""
     import jax
 
     from ..fields import goldilocks as gl
     from . import poseidon as ps
 
-    W = ps.WIDTH
-
     def add_rc(rows, r):
         return [gl.add(lo, hi, rc_lo_ref[r, i], rc_hi_ref[r, i])
                 for i, (lo, hi) in enumerate(rows)]
 
-    def mds(rows):
-        # lazy 22-bit-part accumulation (see poseidon._mds_stacked_u32 /
-        # _mds_split3): split each row once, accumulate the <=41-weight
-        # circulant in plain u32 lanes, one modular recombination per row
-        parts = [ps._mds_split3(lo, hi) for lo, hi in rows]
-        out = []
-        for i in range(W):
-            q = [None] * 3
-            for d, c in enumerate(ps.MDS_CIRC):
-                c = np.uint32(c)
-                src = parts[(i + d) % W]
-                for k in range(3):
-                    t = src[k] * c
-                    q[k] = t if q[k] is None else q[k] + t
-            if i == 0:
-                d0c = np.uint32(ps.MDS_DIAG0)
-                q = [qk + parts[0][k] * d0c for k, qk in enumerate(q)]
-            out.append(ps._mds_recombine3(q))
-        return out
-
     def full_round(r, rows):
         rows = add_rc(rows, r)
-        rows = _sbox_rows(rows, gl.mul)
-        return mds(rows)
+        rows = _sbox_rows(rows)
+        return ps._ext_layer_rows_u32(rows)
 
     def partial_round(r, rows):
-        rows = add_rc(rows, r)
-        rows = _sbox_rows(rows[:1], gl.mul) + rows[1:]
-        return mds(rows)
+        s0 = gl.add(rows[0][0], rows[0][1], rc_lo_ref[r, 0], rc_hi_ref[r, 0])
+        rows = _sbox_rows([s0]) + rows[1:]
+        return ps._int_layer_rows_u32(rows)
 
+    rows = ps._ext_layer_rows_u32(rows)  # Poseidon2 initial external layer
     rows = jax.lax.fori_loop(0, ps.HALF_FULL_ROUNDS, full_round, rows)
     rows = jax.lax.fori_loop(ps.HALF_FULL_ROUNDS,
                              ps.HALF_FULL_ROUNDS + ps.PARTIAL_ROUNDS,

@@ -1,9 +1,11 @@
-"""Exhaustive MDS check for the Poseidon matrix: a matrix is MDS iff every
-square submatrix (all minors, every size) is nonsingular over GF(p).
+"""Exhaustive MDS check: a matrix is MDS iff every square submatrix (all
+minors, every size) is nonsingular over GF(p).
 
 DP over (row-mask, col-mask) pairs via Laplace expansion along the lowest
-set column; ~2.7M minors for 12x12 (~7 s).  Run as a script to print the
-verdict; used by tests/test_prover.py::test_poseidon_matrix_is_mds.
+set column.  Default target is the Poseidon2 external layer's 4x4 M4 block
+(the paper's MDS requirement lives on M4; the 12x12 block-circulant
+circ(2*M4, M4, M4) is deliberately NOT MDS overall).  Run as a script to
+print the verdict; used by tests/test_prover.py::test_poseidon_m4_is_mds.
 """
 import os
 import sys
@@ -12,13 +14,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from plonky2_ecdsa_tpu.fields.goldilocks import P
-from plonky2_ecdsa_tpu.hash.poseidon import MDS_CIRC, MDS_DIAG0, WIDTH
+from plonky2_ecdsa_tpu.hash.poseidon import M4
 
 
-def all_minors_nonzero(verbose: bool = False):
-    """True iff every minor of the Poseidon MDS matrix is nonzero mod p."""
-    M = [[(MDS_CIRC[(j - i) % WIDTH] + (MDS_DIAG0 if (i == j == 0) else 0)) % P
-          for j in range(WIDTH)] for i in range(WIDTH)]
+def all_minors_nonzero(M=None, verbose: bool = False):
+    """True iff every minor of M (default: the Poseidon2 M4 block) is
+    nonzero mod p."""
+    if M is None:
+        M = [[v % P for v in row] for row in M4]
+    WIDTH = len(M)
     t0 = time.time()
     by_pop = [[] for _ in range(WIDTH + 1)]
     for m in range(1 << WIDTH):

@@ -340,19 +340,29 @@ def test_batched_verifier_matches_exact():
 
 
 def test_poseidon_matches_python_int_oracle(rng):
-    """Pin the vectorized permutation against exact python-int modular math
-    (independent of the lazy-MDS / u32-pair tricks)."""
+    """Pin the vectorized Poseidon2 permutation against exact python-int
+    modular math (independent of the lazy part-plane / u32-pair tricks and
+    of the M4 application schedule: the oracle uses plain matvecs)."""
     v = rng.integers(0, P, size=(12,), dtype=np.uint64)
     state = [int(x) for x in v]
+
+    def ext(s):
+        return [sum(poseidon.EXT_MATRIX[i][j] * s[j] for j in range(12)) % P
+                for i in range(12)]
+
+    def internal(s):
+        tot = sum(s)
+        return [(tot + (poseidon.INTERNAL_DIAG[i] - 1) * s[i]) % P
+                for i in range(12)]
+
+    state = ext(state)  # Poseidon2 initial external layer
     for r in range(poseidon.TOTAL_ROUNDS):
-        state = [(s + poseidon.ROUND_CONSTANTS[r * 12 + i]) % P
-                 for i, s in enumerate(state)]
         full = r < poseidon.HALF_FULL_ROUNDS or r >= poseidon.HALF_FULL_ROUNDS + poseidon.PARTIAL_ROUNDS
+        state = [(s + int(poseidon._RC_U64[r, i])) % P
+                 for i, s in enumerate(state)]  # padded table: 0 off-lane-0
         for i in range(12 if full else 1):
             state[i] = pow(state[i], 7, P)
-        state = [(sum(poseidon.MDS_CIRC[d] * state[(i + d) % 12] for d in range(12))
-                  + (poseidon.MDS_DIAG0 * state[0] if i == 0 else 0)) % P
-                 for i in range(12)]
+        state = ext(state) if full else internal(state)
     lo, hi = gl.from_u64(v.reshape(12, 1))
     out = poseidon.permute_stacked(lo, hi)
     got = [int(x) for x in gl.to_u64(*out)[:, 0]]
@@ -366,25 +376,28 @@ def test_poseidon_grain_constants_pinned():
     reference implementation (no plonky2 constants available offline —
     poseidon.py module docstring)."""
     rc = poseidon.ROUND_CONSTANTS
-    assert len(rc) == 360
+    assert len(rc) == 118  # Poseidon2: R_F*t + R_P
     assert rc[:4] == [0x13DCF33ABA214F46, 0x30B3B654A1DA6D83,
                       0x1FC634ADA6159B56, 0x937459964DC03466]
-    assert rc[-2:] == [0x50C0B70D6910A44B, 0x23C7426AF725A6A0]
+    assert rc[-2:] == [0xF798E24961823EC7, 0x962DEBA3E9A2CD94]
     lo = np.arange(12, dtype=np.uint32).reshape(12, 1)
     hi = np.zeros((12, 1), np.uint32)
     out = gl.to_u64(*poseidon.permute_stacked(lo, hi)).ravel()
     assert [int(v) for v in out[:4]] == [
-        0xD600CAA7C93782FF, 0x51B0A688A645E257,
-        0xAB66E96F38777AE2, 0xFB22A8EB3CA92C76]
+        0x1B7E25130101BE72, 0xAD3F64AD4495E8EE,
+        0x730300498CECFC32, 0xF72238C9D44C5941]
 
 
 def test_poseidon_constants_from_spec():
     """Constants-drift guard (VERDICT r3 next #6): the package's Grain-LFSR
-    round constants + MDS must match BOTH the frozen vector file and a
-    from-scratch re-derivation by the independent generator in
+    round constants + Poseidon2 matrices must match BOTH the frozen vector
+    file and a from-scratch re-derivation by the independent generator in
     scripts/gen_poseidon_constants.py (int-state LFSR, no shared code), so
-    the instance is reproducible from the Poseidon-paper spec rather than
-    trusted from one implementation."""
+    the instance is reproducible from spec rather than trusted from one
+    implementation.  Also re-runs the Poseidon2 paper's internal-layer
+    security condition: the deterministic diagonal search must land on the
+    package's INTERNAL_DIAG with an IRREDUCIBLE characteristic polynomial
+    over GF(p) (no invariant-subspace trails)."""
     import json
     import os
 
@@ -396,16 +409,17 @@ def test_poseidon_constants_from_spec():
     frozen_rc = [int(c) for c in vec["round_constants"]]
     assert frozen_rc == poseidon.ROUND_CONSTANTS
     assert gen.derive_constants() == poseidon.ROUND_CONSTANTS
-    pkg_mds = [[(poseidon.MDS_CIRC[(j - i) % 12]
-                 + (poseidon.MDS_DIAG0 if i == j == 0 else 0))
-                for j in range(12)] for i in range(12)]
-    assert vec["mds"] == pkg_mds == gen.mds_matrix()
+    assert vec["ext_matrix"] == poseidon.EXT_MATRIX == gen.ext_matrix()
+    assert vec["internal_diag"] == list(poseidon.INTERNAL_DIAG)
+    assert gen.derive_internal_diag() == list(poseidon.INTERNAL_DIAG)
+    assert gen.poly_irreducible(
+        gen.char_poly_internal(list(poseidon.INTERNAL_DIAG)))
 
 
-def test_poseidon_matrix_is_mds():
-    """Exhaustive MDS check: every square submatrix of the 12x12 circulant+
-    diag matrix (plonky2's MDS_MATRIX_CIRC/DIAG) is nonsingular over GF(p).
-    DP over (row-mask, col-mask) minors, ~2.7M determinants (~7 s)."""
+def test_poseidon_m4_is_mds():
+    """Exhaustive MDS check on the Poseidon2 external layer's M4 block (the
+    paper's MDS requirement lives on M4; the 12x12 block-circulant is
+    deliberately not MDS overall): every square submatrix nonsingular."""
     from scripts.check_mds import all_minors_nonzero
 
     assert all_minors_nonzero()
