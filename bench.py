@@ -135,7 +135,11 @@ def main():
 
     platform = jax.devices()[0].platform  # "axon"/"tpu" = real chip, "cpu" = host
     on_device = platform != "cpu"
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    # 10 steady-state batches: at 5 the pipeline's fill/drain edges (first
+    # upload, last readback — both unoverlapped tunnel I/O) cost ~0.17
+    # s/batch of measurement artifact (r5: 16.2 at reps=5 vs 17.8 at 10 on
+    # identical code); every streamed proof is still verified
+    reps = int(os.environ.get("BENCH_REPS", "10"))
     small = os.environ.get("BENCH_SMALL") == "1"
 
     from plonky2_ecdsa_tpu.prover.data import build_circuit_data

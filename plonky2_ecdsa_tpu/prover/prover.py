@@ -1151,7 +1151,13 @@ def _quotient_num_chunks(N: int, xp, B: int = 32) -> int:
         return nch
     bmul = max(1, B // 32)
     bmul = 1 << (bmul.bit_length() - 1)  # largest power of two <= bmul
-    nch = max(1, (N // (1 << 14)) * bmul)
+    # Nc = N/nch = 1024 domain points/chunk at the production shape: the r5
+    # on-chip sweep (nch = 1/2/4/8/16/32 at N=2^15, B=32) measured the
+    # quotient stage monotonically faster with smaller chunks — 1426 ms
+    # cumulative at nch=2 -> 1289 at nch=32 (better VMEM residency of the
+    # per-gate broadcasts); below 1024 points the fori_loop overhead starts
+    # to flatten the curve
+    nch = max(1, (N // (1 << 10)) * bmul)
     assert N % nch == 0, (N, nch)
     return nch
 
